@@ -1,0 +1,132 @@
+"""Pairwise scoring and decision functions — reference semantics M3-M9.
+
+Reproduces services/disambiguation.py:
+- ``normalize_crossencoder_score``  (:42-51)  — linear clamp from [-6.5, 7.7]
+- ``type_multiplier``               (:300-311)
+- deterministic pseudo-CrossEncoder (engine addition; the reference's real
+  CrossEncoder is nondeterministic and unavailable here — reranker="none"
+  reproduces the reference's documented degradation where ce_score stays 0.0,
+  disambiguation.py:116-118 + models/entity.py:28)
+- ``comprehensive_score``           (:259-298) — weighted fusion + multiplier,
+  with the error-degradation path ``final = bge * 0.5`` (:294-297)
+- ``make_decision``                 (:381-425) — thresholds 0.72 / 0.60,
+  force-mode midpoint 0.66
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .strings import fuzz_score, levenshtein_score
+
+MERGE = "merge"
+CREATE = "create"
+AMBIGUOUS = "ambiguous"
+
+
+def normalize_crossencoder_score(
+    score: float, cfg: EngineConfig = DEFAULT_CONFIG
+) -> float:
+    """disambiguation.py:42-51 — linear map [-6.5, 7.7] → clamp [0, 1]."""
+    normalized = (score - cfg.ce_norm_min) / (cfg.ce_norm_max - cfg.ce_norm_min)
+    return max(0.0, min(1.0, float(normalized)))
+
+
+def type_multiplier(
+    type_a: str | None, type_b: str | None, cfg: EngineConfig = DEFAULT_CONFIG
+) -> float:
+    """disambiguation.py:300-311 — missing → 1.0, match → bonus,
+    mismatch → penalty."""
+    if not type_a or not type_b:
+        return 1.0
+    if type_a == type_b:
+        return cfg.type_match_bonus
+    return cfg.type_mismatch_penalty
+
+
+def hash_ce_raw(text_a: str, text_b: str, cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+    """Deterministic pseudo-CrossEncoder raw score (engine mode
+    reranker="hash_ce"): token-set Jaccard of the two M1 texts mapped onto
+    the reference's empirical raw-score range [-6.5, 7.7], so that
+    ``normalize_crossencoder_score(hash_ce_raw(a, b)) == jaccard(a, b)``."""
+    ta, tb = set(text_a.split()), set(text_b.split())
+    union = len(ta | tb)
+    jac = (len(ta & tb) / union) if union else 0.0
+    return cfg.ce_norm_min + jac * (cfg.ce_norm_max - cfg.ce_norm_min)
+
+
+@dataclass
+class PairScore:
+    """= EntityScore, models/entity.py:25-31."""
+
+    bge_score: float = 0.0
+    cross_encoder_score: float = 0.0
+    fuzz_score: float = 0.0
+    levenshtein_score: float = 0.0
+    final_score: float = 0.0
+
+
+def comprehensive_score(
+    name_a: str,
+    aliases_a: Sequence[str],
+    type_a: str | None,
+    rerank_a: str,
+    name_b: str,
+    aliases_b: Sequence[str],
+    type_b: str | None,
+    rerank_b: str,
+    bge_score: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> PairScore:
+    """disambiguation.py:259-298.  ``rerank_a/rerank_b`` are the M1 texts."""
+    s = PairScore(bge_score=bge_score)
+    try:
+        if cfg.reranker == "hash_ce":
+            s.cross_encoder_score = normalize_crossencoder_score(
+                hash_ce_raw(rerank_a, rerank_b, cfg), cfg
+            )
+        # reranker == "none": ce_score stays 0.0 (reference degradation)
+        s.fuzz_score = fuzz_score(name_a, aliases_a, name_b, aliases_b)
+        s.levenshtein_score = levenshtein_score(name_a, aliases_a, name_b, aliases_b)
+        s.final_score = (
+            s.bge_score * cfg.bge_weight
+            + s.cross_encoder_score * cfg.cross_encoder_weight
+            + s.fuzz_score * cfg.fuzz_weight
+            + s.levenshtein_score * cfg.levenshtein_weight
+        )
+        s.final_score *= type_multiplier(type_a, type_b, cfg)
+    except Exception:
+        # disambiguation.py:294-297 — defined degradation path
+        s.final_score = bge_score * 0.5
+    return s
+
+
+def make_decision(
+    final_score: float,
+    force_decision: bool = False,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> str:
+    """disambiguation.py:381-407."""
+    if final_score >= cfg.high_threshold:
+        return MERGE
+    if final_score <= cfg.low_threshold:
+        return CREATE
+    if force_decision:
+        if final_score > (cfg.high_threshold + cfg.low_threshold) / 2:
+            return MERGE
+        return CREATE
+    return AMBIGUOUS
+
+
+def decision_reasoning(decision: str, final_score: float,
+                       cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """English rendering of disambiguation.py:389-407 reasoning strings."""
+    if decision == MERGE:
+        return f"score {final_score:.3f} >= {cfg.high_threshold}: merge"
+    if decision == CREATE:
+        return f"score {final_score:.3f} <= {cfg.low_threshold}: create"
+    return (
+        f"score {final_score:.3f} in ambiguous band "
+        f"[{cfg.low_threshold}, {cfg.high_threshold}]"
+    )

@@ -1,0 +1,131 @@
+"""Scoring / decision semantics vs the reference formulas
+(services/disambiguation.py:42-51, 259-311, 381-425)."""
+import numpy as np
+import pytest
+
+from entitydisambiguation_ray.config import DEFAULT_CONFIG, EngineConfig
+from entitydisambiguation_ray.functions.encoder import HashEncoder
+from entitydisambiguation_ray.functions.scoring import (
+    AMBIGUOUS,
+    CREATE,
+    MERGE,
+    comprehensive_score,
+    hash_ce_raw,
+    make_decision,
+    normalize_crossencoder_score,
+    type_multiplier,
+)
+from entitydisambiguation_ray.functions.textbuild import embed_text, rerank_text
+
+
+def test_normalize_ce_clamp():
+    assert normalize_crossencoder_score(-6.5) == 0.0
+    assert normalize_crossencoder_score(7.7) == 1.0
+    assert normalize_crossencoder_score(-100.0) == 0.0
+    assert normalize_crossencoder_score(100.0) == 1.0
+    mid = normalize_crossencoder_score(0.6)  # (0.6+6.5)/14.2
+    assert mid == pytest.approx((0.6 + 6.5) / 14.2)
+
+
+def test_type_multiplier_three_cases():
+    assert type_multiplier(None, "疾病") == 1.0
+    assert type_multiplier("疾病", None) == 1.0
+    assert type_multiplier("疾病", "疾病") == 1.0  # TYPE_MATCH_BONUS
+    assert type_multiplier("疾病", "药物") == 0.1  # TYPE_MISMATCH_PENALTY
+
+
+def test_hash_ce_is_jaccard_after_normalization():
+    raw = hash_ce_raw("a b c", "a b d")
+    assert normalize_crossencoder_score(raw) == pytest.approx(2 / 4)
+    assert normalize_crossencoder_score(hash_ce_raw("x", "x")) == 1.0
+    assert normalize_crossencoder_score(hash_ce_raw("x", "y")) == 0.0
+
+
+def test_decision_thresholds():
+    assert make_decision(0.72) == MERGE
+    assert make_decision(0.7201) == MERGE
+    assert make_decision(0.60) == CREATE
+    assert make_decision(0.599) == CREATE
+    assert make_decision(0.65) == AMBIGUOUS
+    # force mode splits at midpoint (0.72+0.6)/2 (disambiguation.py:398);
+    # in IEEE754 that midpoint is 0.6599999999999999, so 0.66 itself merges —
+    # matching the reference's float arithmetic exactly
+    assert make_decision(0.661, force_decision=True) == MERGE
+    assert make_decision(0.66, force_decision=True) == MERGE
+    assert make_decision(0.659, force_decision=True) == CREATE
+
+
+def test_comprehensive_score_fusion_weights():
+    # identical entities, same type, hash_ce reranker → every signal = 1.0
+    s = comprehensive_score(
+        "糖尿病", ["diabetes"], "疾病", "糖尿病 diabetes",
+        "糖尿病", ["diabetes"], "疾病", "糖尿病 diabetes",
+        bge_score=1.0,
+    )
+    assert s.cross_encoder_score == 1.0
+    assert s.fuzz_score == 1.0
+    assert s.levenshtein_score == 1.0
+    assert s.final_score == pytest.approx(0.4 + 0.3 + 0.2 + 0.1)
+    assert make_decision(s.final_score) == MERGE
+
+
+def test_comprehensive_score_type_mismatch_penalty():
+    s = comprehensive_score(
+        "糖尿病", [], "疾病", "糖尿病",
+        "糖尿病", [], "药物", "糖尿病",
+        bge_score=1.0,
+    )
+    assert s.final_score == pytest.approx(1.0 * 0.1)
+    assert make_decision(s.final_score) == CREATE
+
+
+def test_reranker_none_degradation():
+    cfg = EngineConfig(reranker="none")
+    s = comprehensive_score(
+        "x", [], None, "x", "x", [], None, "x", bge_score=1.0, cfg=cfg
+    )
+    assert s.cross_encoder_score == 0.0
+    # ce off caps identical pairs at 0.7 → never reaches the 0.72 merge bar,
+    # the reference's real behavior when CrossEncoder fails to load
+    assert s.final_score == pytest.approx(0.7)
+    assert make_decision(s.final_score) == AMBIGUOUS
+
+
+def test_m1_m2_text_builder_asymmetry():
+    # M1 has no attributes; M2 appends "k: v1, v2" segments
+    attrs = '{"symptom": ["口渴", "多尿"]}'
+    m1 = rerank_text("糖尿病", ["diabetes"], "慢性病")
+    m2 = embed_text("糖尿病", ["diabetes"], "慢性病", attrs)
+    assert m1 == "糖尿病 diabetes 慢性病"
+    assert m2 == "糖尿病 diabetes 慢性病 symptom: 口渴, 多尿"
+
+
+def test_hash_encoder_deterministic_and_normalized():
+    enc = HashEncoder(dim=1024)
+    v1 = enc.encode_one("糖尿病 diabetes")
+    v2 = HashEncoder(dim=1024).encode_one("糖尿病 diabetes")  # fresh cache
+    assert np.array_equal(v1, v2)
+    assert v1.dtype == np.float32
+    assert np.linalg.norm(v1) == pytest.approx(1.0, abs=1e-5)
+    batch = enc.encode(["a", "b", "a"])
+    assert batch.shape == (3, 1024)
+    assert np.array_equal(batch[0], batch[2])
+    assert not np.array_equal(batch[0], batch[1])
+    # disjoint features ≈ orthogonal
+    assert abs(float(batch[0] @ batch[1])) < 0.2
+
+
+def test_hash_encoder_similarity_structure():
+    enc = HashEncoder(dim=1024)
+    base = enc.encode_one("糖尿病 diabetes DM 慢性代谢疾病")
+    reorder = enc.encode_one("diabetes 糖尿病 DM 慢性代谢疾病")
+    typo = enc.encode_one("糖尿症 diabetes DM 慢性代谢疾病")
+    unrelated = enc.encode_one("阿司匹林 aspirin 解热镇痛药")
+    # same token multiset → identical direction
+    assert float(base @ reorder) == pytest.approx(1.0, abs=1e-5)
+    # one-character edit in one token → still highly similar
+    assert float(base @ typo) > 0.75
+    # unrelated → near-orthogonal
+    assert abs(float(base @ unrelated)) < 0.25
+    # empty text → zero vector
+    assert np.linalg.norm(enc.encode_one("")) == 0.0
