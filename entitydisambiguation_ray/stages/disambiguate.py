@@ -1,0 +1,209 @@
+"""Stateful disambiguation stage: embed → candidate gen → score → decide.
+
+This is the reference's ``/auto-decide`` request path (SURVEY.md §3.2,
+services/disambiguation.py:120-166) re-expressed as ONE batched actor-pool
+``map_batches`` stage over unique mentions:
+
+- the knowledge base (entities + embedding matrix, the FAISS-index
+  equivalent) and the encoder live in ``__init__`` — loaded once per actor,
+  amortized over all batches (the reference reloads nothing per request but
+  also cannot batch; vectorization.py:487-495 encodes one text per call);
+- candidate generation reproduces the smart-search dual path
+  (disambiguation.py:168-224): global top-(2k) search by raw inner product
+  (IndexFlatIP semantics, vectorization.py:516) overlaid with a type-scoped
+  brute-force cosine path (threshold 0.1, disambiguation.py:191-193), merged
+  with name-dedup where type results take priority (disambiguation.py:199-215),
+  truncated to top_k;
+- scoring and decisions use functions/scoring.py (M3-M9 verbatim).
+
+Scale note: the KB here is the SMALL side (a seed KB of ~10^2..10^6 rows vs
+10^12 mentions) and is broadcast — built deterministically per actor or
+shipped once via ``ray.put`` → ``fn_constructor_kwargs``.  For KBs too large
+to broadcast, ``candidate_gen="blocked"`` (stages/candidates.py) shuffles
+mentions to name/type blocks and searches per-block indexes instead.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.encoder import make_encoder
+from ..functions.hashing import generate_entity_id
+from ..functions.scoring import (
+    CREATE,
+    MERGE,
+    comprehensive_score,
+    decision_reasoning,
+    make_decision,
+)
+from ..functions.textbuild import embed_text, rerank_text
+from ..sources.seed import build_seed_entities
+
+DECISION_SCHEMA = pa.schema(
+    [
+        ("sig", pa.string()),
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("aliases_json", pa.string()),
+        ("definition", pa.string()),
+        ("attributes", pa.string()),
+        ("decision", pa.string()),
+        ("match_id", pa.string()),
+        ("match_name", pa.string()),
+        ("bge_score", pa.float64()),
+        ("cross_encoder_score", pa.float64()),
+        ("fuzz_score", pa.float64()),
+        ("levenshtein_score", pa.float64()),
+        ("final_score", pa.float64()),
+        ("confidence", pa.float64()),
+        ("reasoning", pa.string()),
+        ("canonical_id", pa.string()),
+    ]
+)
+
+
+class KnowledgeBase:
+    """In-memory KB: entity rows + normalized-IP embedding matrix."""
+
+    def __init__(self, entities=None, encoder=None, cfg: EngineConfig = DEFAULT_CONFIG):
+        if entities is None:
+            entities = build_seed_entities()
+        self.cfg = cfg
+        self.encoder = encoder or make_encoder(cfg.encoder, cfg.embedding_dim)
+        self.rows = []
+        texts = []
+        for e in entities:
+            if isinstance(e, dict):
+                row = dict(e)
+                if isinstance(row.get("aliases"), str):
+                    row["aliases"] = json.loads(row["aliases"])
+            else:
+                row = {
+                    "id": e.id, "name": e.name, "type": e.type,
+                    "aliases": list(e.aliases), "definition": e.definition,
+                    "attributes": e.attributes, "source": e.source,
+                    "create_time": e.create_time,
+                }
+            row["rerank_text"] = rerank_text(row["name"], row["aliases"],
+                                             row.get("definition"))
+            texts.append(embed_text(row["name"], row["aliases"],
+                                    row.get("definition"), row.get("attributes")))
+            self.rows.append(row)
+        self.matrix = self.encoder.encode(texts)  # (n, dim) float32
+        self.types = np.array([r["type"] or "" for r in self.rows], dtype=object)
+        self.by_type: dict[str, np.ndarray] = {}
+        for t in set(self.types.tolist()):
+            if t:
+                self.by_type[t] = np.flatnonzero(self.types == t)
+
+    def candidates(self, vec: np.ndarray, mtype: str | None,
+                   top_k: int) -> list[tuple[int, float]]:
+        """Reference smart-search (disambiguation.py:168-224): returns
+        [(kb_row_index, bge_score), ...] truncated to top_k."""
+        n = self.matrix.shape[0]
+        if n == 0:
+            return []
+        # global vector path, top_k*2 by raw inner product (IndexFlatIP)
+        ips = self.matrix @ vec
+        k2 = min(top_k * 2, n)
+        top = np.argpartition(-ips, k2 - 1)[:k2]
+        top = top[np.argsort(-ips[top], kind="stable")]
+        vector_results = [(int(i), float(ips[i])) for i in top]
+        if mtype and mtype in self.by_type:
+            idxs = self.by_type[mtype]
+            # type-scoped brute-force cosine, threshold 0.1
+            # (disambiguation.py:191-193); vectors are L2-normalized so the
+            # explicit norm division is a no-op kept for zero-vector safety
+            sub = self.matrix[idxs]
+            norms = np.linalg.norm(sub, axis=1) * (np.linalg.norm(vec) or 1.0)
+            norms[norms == 0] = 1.0
+            cos = (sub @ vec) / norms
+            keep = cos > 0.1
+            order = np.argsort(-cos[keep], kind="stable")
+            type_results = [(int(idxs[np.flatnonzero(keep)[j]]), float(cos[keep][j]))
+                            for j in order]
+            merged: list[tuple[int, float]] = []
+            seen: set[str] = set()
+            for i, s in type_results:        # type results take priority
+                nm = self.rows[i]["name"]
+                if nm not in seen:
+                    merged.append((i, s))
+                    seen.add(nm)
+            for i, s in vector_results:
+                nm = self.rows[i]["name"]
+                if nm not in seen:
+                    merged.append((i, s))
+                    seen.add(nm)
+            return merged[:top_k]
+        return vector_results[:top_k]
+
+
+class Disambiguator:
+    """Actor-pool stage over UNIQUE mentions → decisions table."""
+
+    def __init__(self, entities=None, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.kb = KnowledgeBase(entities=entities, cfg=cfg)
+        self.encoder = self.kb.encoder
+
+    def decide_one(self, name, mtype, aliases, rtext, vec):
+        cands = self.kb.candidates(vec, mtype, self.cfg.faiss_top_k)
+        if not cands:
+            # disambiguation.py:126-135 — empty → create, confidence 1.0
+            return (CREATE, None, None, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0,
+                    "no similar entities: create",
+                    generate_entity_id(name, mtype))
+        best = None
+        best_row = None
+        for i, bge in cands:
+            row = self.kb.rows[i]
+            s = comprehensive_score(
+                name, aliases, mtype, rtext,
+                row["name"], row["aliases"], row["type"], row["rerank_text"],
+                bge, self.cfg,
+            )
+            if best is None or s.final_score > best.final_score:
+                best, best_row = s, row
+        decision = make_decision(best.final_score, cfg=self.cfg)
+        match_id = best_row["id"] if decision == MERGE else None
+        match_name = best_row["name"] if decision == MERGE else None
+        canonical = match_id if decision == MERGE else generate_entity_id(name, mtype)
+        return (decision, match_id, match_name, best.bge_score,
+                best.cross_encoder_score, best.fuzz_score,
+                best.levenshtein_score, best.final_score, best.final_score,
+                decision_reasoning(decision, best.final_score, self.cfg),
+                canonical)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        etexts = [v.as_py() for v in batch.column("embed_text")]
+        vecs = self.encoder.encode(etexts)
+        cols: dict[str, list] = {name: [] for name in DECISION_SCHEMA.names}
+        for i in range(batch.num_rows):
+            name = batch.column("name")[i].as_py()
+            mtype = batch.column("type")[i].as_py()
+            aliases = json.loads(batch.column("aliases_json")[i].as_py())
+            rtext = batch.column("rerank_text")[i].as_py()
+            (decision, match_id, match_name, bge, ce, fz, lv, final, conf,
+             reasoning, canonical) = self.decide_one(
+                name, mtype, aliases, rtext, vecs[i])
+            cols["sig"].append(batch.column("sig")[i].as_py())
+            cols["name"].append(name)
+            cols["type"].append(mtype)
+            cols["aliases_json"].append(batch.column("aliases_json")[i].as_py())
+            cols["definition"].append(batch.column("definition")[i].as_py())
+            cols["attributes"].append(batch.column("attributes")[i].as_py())
+            cols["decision"].append(decision)
+            cols["match_id"].append(match_id)
+            cols["match_name"].append(match_name)
+            cols["bge_score"].append(bge)
+            cols["cross_encoder_score"].append(ce)
+            cols["fuzz_score"].append(fz)
+            cols["levenshtein_score"].append(lv)
+            cols["final_score"].append(final)
+            cols["confidence"].append(conf)
+            cols["reasoning"].append(reasoning)
+            cols["canonical_id"].append(canonical)
+        return pa.table(cols, schema=DECISION_SCHEMA)

@@ -1,0 +1,127 @@
+"""Mention building: triples → entity mentions (dictionary-enriched).
+
+The dictionary half of "dictionary-plus-embedding candidate generation"
+(north star): every subject/object surface becomes a mention; surfaces found
+in the mention dictionary are enriched with type/aliases/definition/
+attributes, unknown surfaces become bare untyped mentions.
+
+The mention signature (``functions/hashing.mention_signature``) is a pure
+function of the mention content, so identical disambiguation tasks collapse
+to one unit of work — this is both the exact-dedup operator (SURVEY.md §2.7)
+and the hot-key skew answer: "United States"-class mentions appearing on 20%
+of pages become ONE scoring task instead of millions.
+
+Implemented as a callable class → Ray actor pool: the dictionary is built
+once per actor in ``__init__`` (it is deterministic and cheap, so workers
+rebuild it locally instead of shipping it through the object store; a
+user-supplied external dictionary would be broadcast via ``ray.put`` and
+passed as an object ref in ``fn_constructor_kwargs`` instead).
+"""
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions.hashing import mention_signature
+from ..functions.textbuild import embed_text, rerank_text
+from ..sources.seed import build_seed_entities, build_vocab
+
+MENTION_SCHEMA = pa.schema(
+    [
+        ("sig", pa.string()),
+        ("url", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("role", pa.string()),  # subj | obj
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("aliases_json", pa.string()),
+        ("definition", pa.string()),
+        ("attributes", pa.string()),
+        ("rerank_text", pa.string()),
+        ("embed_text", pa.string()),
+    ]
+)
+
+
+class MentionBuilder:
+    """triples(url, subj, pred, obj, sent_idx) → mentions."""
+
+    def __init__(self, mention_dict=None):
+        if mention_dict is None:
+            mention_dict = build_vocab(build_seed_entities())[0]
+        self.dict = mention_dict
+        # per-surface memo of the fully-built mention row (hot surfaces
+        # repeat millions of times at scale; build each once per actor)
+        self._memo: dict[str, tuple] = {}
+
+    def _mention_for(self, surface: str) -> tuple:
+        row = self._memo.get(surface)
+        if row is None:
+            entry = self.dict.get(surface)
+            if entry is not None:
+                name, etype = entry.name, entry.type
+                aliases = list(entry.aliases)
+                definition, attributes = entry.definition, entry.attributes
+            else:
+                name, etype, aliases, definition, attributes = (
+                    surface, None, [], None, "{}")
+            rtext = rerank_text(name, aliases, definition)
+            etext = embed_text(name, aliases, definition, attributes)
+            sig = mention_signature(etext, etype)
+            row = (sig, name, etype, json.dumps(aliases, ensure_ascii=False),
+                   definition, attributes, rtext, etext)
+            self._memo[surface] = row
+        return row
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in MENTION_SCHEMA.names}
+        url_col = batch.column("url")
+        subj_col = batch.column("subj")
+        obj_col = batch.column("obj")
+        sent_col = batch.column("sent_idx")
+        for i in range(batch.num_rows):
+            url = url_col[i].as_py()
+            sent_idx = sent_col[i].as_py()
+            for role, surface in (("subj", subj_col[i].as_py()),
+                                  ("obj", obj_col[i].as_py())):
+                (sig, name, etype, aliases_json, definition, attributes,
+                 rtext, etext) = self._mention_for(surface)
+                cols["sig"].append(sig)
+                cols["url"].append(url)
+                cols["sent_idx"].append(sent_idx)
+                cols["role"].append(role)
+                cols["name"].append(name)
+                cols["type"].append(etype)
+                cols["aliases_json"].append(aliases_json)
+                cols["definition"].append(definition)
+                cols["attributes"].append(attributes)
+                cols["rerank_text"].append(rtext)
+                cols["embed_text"].append(etext)
+        return pa.table(cols, schema=MENTION_SCHEMA)
+
+
+def unique_mentions_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: keep the first row per sig (pre-aggregation before
+    the global groupby — SURVEY.md §4 'pre-aggregate inside map_batches')."""
+    seen: set[str] = set()
+    keep: list[int] = []
+    sig_col = batch.column("sig")
+    for i in range(batch.num_rows):
+        s = sig_col[i].as_py()
+        if s not in seen:
+            seen.add(s)
+            keep.append(i)
+    return batch.take(keep)
+
+
+def surface_sig(surface: str, mention_dict) -> str:
+    """Recompute a surface's signature without materializing the mention —
+    used by the edge-rewrite stage so triples never need a join back to the
+    mentions table."""
+    entry = mention_dict.get(surface)
+    if entry is not None:
+        etext = embed_text(entry.name, entry.aliases, entry.definition,
+                           entry.attributes)
+        return mention_signature(etext, entry.type)
+    return mention_signature(embed_text(surface, [], None, None), None)

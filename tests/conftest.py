@@ -5,6 +5,7 @@ import pytest
 def ray_session():
     """One Ray session for the whole pytest run (per the driver contract)."""
     import ray
+    from ray.data import DataContext
 
     ray.init(
         address="local",
@@ -12,6 +13,9 @@ def ray_session():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,
     )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
     yield
     ray.shutdown()

@@ -1,0 +1,68 @@
+"""Extractor byte-identity + SVO determinism (SURVEY.md §5.3)."""
+from entitydisambiguation_ray.functions.extract import extract_text
+from entitydisambiguation_ray.functions.svo import extract_triples, split_sentences
+from entitydisambiguation_ray.sources.pages import make_page
+
+
+def test_extractor_strips_boilerplate():
+    html = (
+        b"<html><head><title>T</title><style>x{}</style>"
+        b"<script>var a=1;</script></head><body>"
+        b"<nav><li>home</li></nav><header>H</header>"
+        b"<div><p>Alpha beta.</p><p>Gamma.</p></div>"
+        b"<aside>ads</aside><footer>f</footer></body></html>"
+    )
+    out = extract_text(html)
+    assert "var a=1" not in out and "home" not in out and "ads" not in out
+    assert "H" not in out.split("\n")
+    assert "Alpha beta." in out and "Gamma." in out
+    assert out.split("\n")[0] == "T"
+
+
+def test_extractor_byte_identity_and_determinism():
+    for i in (0, 5, 77):
+        page = make_page(i)
+        a = extract_text(page["html"])
+        b = extract_text(page["html"])
+        assert a == b
+        assert a.encode("utf-8") == b.encode("utf-8")
+
+
+def test_extractor_entities_and_whitespace():
+    assert extract_text(b"<p>a &amp; b</p>") == "a & b"
+    assert extract_text(b"<p>  a   b  </p>") == "a b"
+    assert extract_text(b"") == ""
+    # invalid utf-8 is replaced, not fatal
+    assert extract_text(b"<p>\xff ok</p>").endswith("ok")
+
+
+def test_sentence_split():
+    assert split_sentences("A。B！C？") == ["A", "B", "C"]
+    assert split_sentences("Hello world. Next one.") == ["Hello world", "Next one"]
+    # '.' not followed by whitespace does not split (decimals/abbreviations)
+    assert split_sentences("pH 7.4 is normal") == ["pH 7.4 is normal"]
+
+
+def test_svo_extraction_zh_en():
+    text = "阿司匹林治疗高血压。\nTP53 interacts with insulin."
+    ts = list(extract_triples(text))
+    assert ("阿司匹林", "treats", "高血压", 0) in ts
+    assert ("TP53", "interacts_with", "insulin", 1) in ts
+
+
+def test_svo_earliest_longest_predicate_wins():
+    # "是一种" must win over a later "治疗"
+    ts = list(extract_triples("糖尿病是一种代谢疾病需要治疗控制"))
+    assert ts[0][1] == "is_a" and ts[0][0] == "糖尿病"
+    # empty subject rejected
+    assert list(extract_triples("治疗高血压。")) == []
+    # overlong argument rejected
+    assert list(extract_triples("x" * 100 + "治疗" + "y")) == []
+
+
+def test_page_generation_deterministic():
+    a, b = make_page(11), make_page(11)
+    assert a == b
+    assert make_page(12)["html"] != a["html"]
+    p = make_page(11, filler="FILLERTEXT")
+    assert b"FILLERTEXT" in p["html"]
