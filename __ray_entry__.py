@@ -1,44 +1,340 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data operator families); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query.  Ray is
+initialised by the caller — nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in __import__("sys").path:  # worker-visible imports
+    __import__("sys").path.insert(0, _REPO_DIR)
+
+
+def _quiet():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize a page corpus seeded by sf0.001 documents, run
+    the full KG pipeline, return the deduplicated canonical edge table."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).take_all()
+    fillers = [r["text"] for r in docs[:200]]
+    pages = synth_pages_dataset(300, seed=42, fillers=fillers)
+    out = run_kg_pipeline(pages)
+    return out["edges"]
+
+
+# ----------------------------------------------------------------- queries
+
+def _kg_outputs(sf_dir: str, which: str):
+    _quiet()
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+
+    n_pages = {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    pages = synth_pages_dataset(n_pages, seed=42)
+    out = run_kg_pipeline(pages)
+    if which == "edges":
+        return out["edges"].sort(["src_id", "dst_id", "rel_type"])
+    if which == "decisions":
+        df = out["decisions_df"]
+        return df.sort_values("sig").reset_index(drop=True)
+    if which == "entities":
+        return out["entities_df"].sort_values("id").reset_index(drop=True)
+    raise ValueError(which)
+
+
+def _q_kg_edges(sf_dir: str):
+    return _kg_outputs(sf_dir, "edges")
+
+
+def _q_kg_decisions(sf_dir: str):
+    return _kg_outputs(sf_dir, "decisions")
+
+
+def _q_kg_entities(sf_dir: str):
+    return _kg_outputs(sf_dir, "entities")
+
+
+def _q_extracted_text(sf_dir: str):
+    """Extraction slice: byte-stable text per url (north-rule invariant)."""
+    _quiet()
+    from entitydisambiguation_ray.pipelines.kg import (
+        extract_stage,
+        synth_pages_dataset,
+    )
+
+    pages = synth_pages_dataset(300, seed=42)
+    return extract_stage(pages).select_columns(["url", "content"]).sort("url")
+
+
+def _q_exact_dedup(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return exact_dedup(ds, "doc_id", "text").select_columns(["doc_id"]).sort("doc_id")
+
+
+def _q_minhash_pairs(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.5)
+    return out.sort(["id_a", "id_b"])
+
+
+def _q_simhash_pairs(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import simhash_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return simhash_pairs(ds, "doc_id", "text").sort(["id_a", "id_b"])
+
+
+def _q_embedding_neardup(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(
+        ds, "vec_id", "embedding", "label", threshold=0.35
+    ).sort(["id_a", "id_b"])
+
+
+def _q_ann_topk(sf_dir: str):
+    _quiet()
+    import numpy as np
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.ann import brute_force_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qdf = (ds.sort("vec_id").limit(3)).to_pandas()
+    queries = np.asarray([np.asarray(v) for v in qdf["embedding"]])
+    out = brute_force_topk(ds, "vec_id", "embedding", queries, k=10)
+    out = out[["query_idx", "vec_id", "cosine"]].copy()
+    out["cosine"] = out["cosine"].round(6)
+    out["query_idx"] = out["query_idx"].astype("int64")
+    return out.sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+
+
+def _q_token_count(sf_dir: str):
+    _quiet()
+    import functools
+
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.textops import token_count_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "token_count"]).sort("doc_id")
+
+
+def _q_quality(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.textops import quality_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(
+        ["doc_id", "n_chars_q", "punct_ratio", "alpha_ratio"]).sort("doc_id")
+
+
+def _q_langid(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.textops import langid_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(langid_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "lang_pred"]).sort("doc_id")
+
+
+def _q_fingerprint(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.textops import fingerprint_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "fp_md5"]).sort("doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entitydisambiguation_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / reference-operator suite (SQL-checked)
+        "scan_sort_limit": R.scan_sort_limit,
+        "substring_search": R.substring_search,
+        "type_scan": R.type_scan,
+        "point_lookup_join": R.point_lookup_join,
+        "upsert_last_wins": R.upsert_last_wins,
+        "table_counts": R.table_counts,
+        "history_topn": R.history_topn,
+        "decision_stats": R.decision_stats,
+        "groupby_topk": R.groupby_topk,
+        "broadcast_join_agg": R.broadcast_join_agg,
+        "shuffle_join_agg": R.shuffle_join_agg,
+        "pricing_summary": R.pricing_summary,
+        "distinct_values": R.distinct_values,
+        "json_extract": R.json_extract,
+        # text analysis (SQL-checked)
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,          # rows-only
+        "simhash_pairs": _q_simhash_pairs,          # rows-only
+        "embedding_neardup": _q_embedding_neardup,  # SQL-checked
+        # similarity search
+        "ann_topk": _q_ann_topk,                    # SQL-checked
+        # KG construction flagship (rows-only: iterative/stateful)
+        "kg_edges": _q_kg_edges,
+        "kg_decisions": _q_kg_decisions,
+        "kg_entities": _q_kg_entities,
+        "extracted_text": _q_extracted_text,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entitydisambiguation_ray.pipelines import relational as R
+
+    return {
+        "scan_sort_limit": R.SQL_SCAN_SORT_LIMIT,
+        "substring_search": R.SQL_SUBSTRING_SEARCH,
+        "type_scan": R.SQL_TYPE_SCAN,
+        "point_lookup_join": R.SQL_POINT_LOOKUP_JOIN,
+        "upsert_last_wins": R.SQL_UPSERT_LAST_WINS,
+        "table_counts": R.SQL_TABLE_COUNTS,
+        "history_topn": R.SQL_HISTORY_TOPN,
+        "decision_stats": R.SQL_DECISION_STATS,
+        "groupby_topk": R.SQL_GROUPBY_TOPK,
+        "broadcast_join_agg": R.SQL_BROADCAST_JOIN_AGG,
+        "shuffle_join_agg": R.SQL_SHUFFLE_JOIN_AGG,
+        "pricing_summary": R.SQL_PRICING_SUMMARY,
+        "distinct_values": R.SQL_DISTINCT_VALUES,
+        "json_extract": R.SQL_JSON_EXTRACT,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY,
+        "langid": SQL_LANGID,
+        "fingerprint": SQL_FINGERPRINT,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "ann_topk": SQL_ANN_TOPK,
+    }
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS token_count
+FROM documents ORDER BY doc_id
+"""
+
+SQL_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(len(regexp_extract_all(text, '[.,;:!?。！？，；：]')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio
+FROM documents ORDER BY doc_id
+"""
+
+SQL_LANGID = r"""
+SELECT doc_id,
+       CASE WHEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+                 / greatest(length(text), 1) > 0.2
+            THEN 'zh' ELSE 'en' END AS lang_pred
+FROM documents ORDER BY doc_id
+"""
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
+"""
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.35
+ORDER BY id_a, id_b
+"""
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_idx, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_idx
+                            ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT CAST(query_idx AS BIGINT) AS query_idx, vec_id,
+       ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rn <= 10 ORDER BY query_idx, vec_id
+"""

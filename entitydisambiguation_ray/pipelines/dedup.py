@@ -1,0 +1,152 @@
+"""Dataset-level deduplication pipelines.
+
+Each function takes/returns ``ray.data.Dataset`` and composes the batch
+kernels in ``stages/dedup.py`` with Ray Data shuffle primitives.  Shuffle
+inventory per operator is documented inline (SURVEY.md §7.3 discipline).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages.dedup import (
+    MinHasher,
+    bucket_to_pairs,
+    hamming64,
+    minhash_batch,
+    ngram_jaccard,
+    simhash_batch,
+)
+from ..stages.textops import fingerprint_batch
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    """Exact near-... exact duplicate removal: one shuffle on the md5
+    content hash; representative = smallest id (deterministic)."""
+    hashed = ds.map_batches(
+        functools.partial(fingerprint_batch, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def first_by_id(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        hashed.groupby("fp_md5")
+        .map_groups(first_by_id, batch_format="pandas")
+        .drop_columns(["fp_md5", "fp_roll"])
+    )
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str,
+    *, num_perm: int = 64, bands: int = 16, threshold: float = 0.6,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """MinHash+LSH near-dup detection → verified pair list
+    (id_a, id_b, jaccard ≥ threshold).
+
+    Shuffles: (1) band groupby over small (band, hash, id) rows;
+    (2) candidate-pair groupby for dedup.  Texts are re-fetched only for
+    the (small) candidate set via a broadcast id→text map; at KB scale this
+    becomes a shuffle hash join on doc_id instead."""
+    rows_per_band = num_perm // bands
+    hasher = MinHasher(num_perm=num_perm)
+    exploded = ds.map_batches(
+        functools.partial(
+            minhash_batch, id_col=id_col, text_col=text_col,
+            hasher=hasher, bands=bands, rows_per_band=rows_per_band,
+            shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    candidates = (
+        exploded.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_to_pairs, batch_format="pandas")
+    )
+    # distinct candidate pairs (a pair can collide in several bands)
+    candidates = candidates.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    texts = {r[id_col]: r[text_col]
+             for r in ds.select_columns([id_col, text_col]).iter_rows()}
+    import ray
+    texts_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja = [
+                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""))
+                for a, b in zip(batch.column("id_a").to_pylist(),
+                                batch.column("id_b").to_pylist())
+            ]
+            batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+            return batch.filter(
+                pa.compute.greater_equal(batch.column("jaccard"), threshold))
+
+    return candidates.map_batches(Verify, batch_format="pyarrow",
+                                  concurrency=(1, 4))
+
+
+def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
+                  *, max_hamming: int = 3) -> rd.Dataset:
+    """SimHash near-dup pairs (Hamming ≤ max_hamming) via 4×16-bit band
+    blocking (pigeonhole-complete for max_hamming ≤ 3)."""
+    sh = ds.map_batches(
+        functools.partial(simhash_batch, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # consumed 4× below (one pass per band); small sketch rows
+
+    sims = {r["doc_id"]: r["simhash"] for r in
+            sh.select_columns(["doc_id", "simhash"]).iter_rows()}
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        out = [
+            (a, b, hamming64(int(sims[a]), int(sims[b])))
+            for i, a in enumerate(ids) for b in ids[i + 1 :]
+            if hamming64(int(sims[a]), int(sims[b])) <= max_hamming
+        ]
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    per_band = [
+        sh.groupby(f"sh_band{b}").map_groups(band_pairs, batch_format="pandas")
+        for b in range(4)
+    ]
+    allp = per_band[0].union(*per_band[1:])
+    return allp.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def embedding_neardup_pairs(
+    ds: rd.Dataset, id_col: str, vec_col: str, block_col: str,
+    *, threshold: float = 0.35,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup: pairs with cosine > threshold within a
+    blocking key (label / LSH bucket).  One shuffle on the block key; the
+    per-group kernel is a single normalized matmul."""
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        cos = mat @ mat.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = cos[ia, ib] > threshold
+        return pd.DataFrame({
+            "id_a": g[id_col].to_numpy()[ia[keep]],
+            "id_b": g[id_col].to_numpy()[ib[keep]],
+            "cosine": np.round(cos[ia, ib][keep], 6),
+        })
+
+    return ds.groupby(block_col).map_groups(group_pairs, batch_format="pandas")

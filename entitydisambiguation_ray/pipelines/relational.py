@@ -1,0 +1,427 @@
+"""Relational operator suite over the testdata tables, each paired with an
+ANSI-SQL oracle (DuckDB) for the driver's correctness gate.
+
+Every function maps a reference operator (SURVEY.md §2 ids in docstrings) to
+its idiomatic Ray Data expression.  Conventions:
+
+- reads prune columns at the source (``read_parquet(columns=[...])``);
+- aggregations pre-aggregate inside ``map_batches`` where the key count is
+  small (combiner), then run a tiny global ``groupby``;
+- joins broadcast the small side (``ray.put`` → lookup per batch) instead of
+  shuffling both sides;
+- float aggregates are rounded to 2 decimals in BOTH engines (binary float
+  sums are order-dependent in any engine; integer-valued sums like
+  ``sum_qty`` are exact and left unrounded);
+- computed columns carry the same names as the SQL oracle (driver hashes
+  sort columns by name).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# --------------------------------------------------------------- S2/T5: scan+sort+limit
+
+def scan_sort_limit(sf_dir: str):
+    """Full scan ordered by a key, limited (reference: Neo4j entity scan
+    ORDER BY create_time DESC — neo4j_database.py:203-229)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+
+SQL_SCAN_SORT_LIMIT = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- S4: substring search
+
+def substring_search(sf_dir: str):
+    """name CONTAINS q + order + limit (neo4j_database.py:231-273)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t.column("text"), "query")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "lang"]).sort("doc_id").limit(200)
+
+
+SQL_SUBSTRING_SEARCH = """
+SELECT doc_id, lang FROM documents
+WHERE contains(text, 'query') ORDER BY doc_id LIMIT 200
+"""
+
+
+# --------------------------------------------------------------- S5: type scan
+
+def type_scan(sf_dir: str):
+    """Typed scan ordered by name (neo4j_database.py:275-301)."""
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_size"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("p_type"), "STANDARD")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.select_columns(["p_partkey", "p_name"]).sort(
+        ["p_name", "p_partkey"])
+
+
+SQL_TYPE_SCAN = """
+SELECT p_partkey, p_name FROM part
+WHERE p_type = 'STANDARD' ORDER BY p_name, p_partkey
+"""
+
+
+# --------------------------------------------------------------- S3/J5: keyed lookup via broadcast hash join
+
+def point_lookup_join(sf_dir: str):
+    """Batch equivalent of point lookups: hash join of an id-keyed probe
+    set against the entity table, customer side broadcast
+    (neo4j_database.py:179-201; SURVEY.md §2.4 broadcast join)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    class Probe:
+        def __init__(self):
+            self.lookup = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(keys % 100 == 0))
+            names = [self.lookup.get(k) for k in
+                     batch.column("o_custkey").to_pylist()]
+            batch = batch.append_column("c_name", pa.array(names, pa.string()))
+            return batch.select(["o_orderkey", "o_totalprice", "c_name"])
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=(1, 2)).sort("o_orderkey")
+
+
+SQL_POINT_LOOKUP_JOIN = """
+SELECT o_orderkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------- S6: upsert last-wins
+
+def upsert_last_wins(sf_dir: str):
+    """MERGE-by-id last-write-wins (neo4j_database.py:130-177) over the
+    events stream: last event per user by (ts, event_id)."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False).head(1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].values,
+            "last_event_id": g["event_id"].values,
+            "last_event_type": g["event_type"].values,
+        })
+
+    return ds.groupby("user_id").map_groups(
+        last_per_user, batch_format="pandas").sort("user_id")
+
+
+SQL_UPSERT_LAST_WINS = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------- S9/G3: counts
+
+def table_counts(sf_dir: str):
+    """Entity counts per table (neo4j_database.py:386-400,
+    database_factory.py:121-148)."""
+    rows = []
+    for t in ("documents", "orders", "lineitem", "events", "customer"):
+        rows.append({"tbl": t, "n": _pq(sf_dir, t).count()})
+    return pd.DataFrame(rows).sort_values("tbl").reset_index(drop=True)
+
+
+SQL_TABLE_COUNTS = """
+SELECT tbl, n FROM (
+  SELECT 'customer' AS tbl, count(*) AS n FROM customer UNION ALL
+  SELECT 'documents', count(*) FROM documents UNION ALL
+  SELECT 'events', count(*) FROM events UNION ALL
+  SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+  SELECT 'orders', count(*) FROM orders
+) ORDER BY tbl
+"""
+
+
+# --------------------------------------------------------------- S11/T4: history top-N
+
+def history_topn(sf_dir: str):
+    """ORDER BY timestamp DESC LIMIT (database.py:81-115)."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(100)
+
+
+SQL_HISTORY_TOPN = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- G1/G2: grouped stats
+
+def decision_stats(sf_dir: str):
+    """decision → count (database.py:128-147), with per-batch combiner."""
+    ds = _pq(sf_dir, "events", ["event_type"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tbl = batch.group_by("event_type").aggregate([("event_type", "count")])
+        return tbl.rename_columns(["event_type", "cnt"])
+
+    partial = ds.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    out = partial.groupby("event_type").aggregate(Sum("cnt", alias_name="cnt"))
+    return out.sort("event_type")
+
+
+SQL_DECISION_STATS = """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------- T1/T3: top-k per group
+
+def groupby_topk(sf_dir: str):
+    """Per-group argmax (candidate top-1, disambiguation.py:146-149):
+    highest-value event per user."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        return g.head(1)
+
+    return ds.groupby("user_id").map_groups(
+        top1, batch_format="pandas").sort("user_id")
+
+
+SQL_GROUPBY_TOPK = """
+SELECT user_id, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------- broadcast join + agg
+
+def broadcast_join_agg(sf_dir: str):
+    """customer ⋈ nation ⋈ region → per-region stats; dimension tables
+    broadcast via ray.put (SURVEY.md §2.4: broadcast hash join)."""
+    nation = _pq(sf_dir, "nation").to_pandas()
+    region = _pq(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"],
+                   nation["n_regionkey"].map(
+                       dict(zip(region["r_regionkey"], region["r_name"])))))
+    ref = ray.put(n2r)
+
+    class Tag:
+        def __init__(self):
+            self.n2r = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rnames = [self.n2r.get(k) for k in
+                      batch.column("c_nationkey").to_pylist()]
+            batch = batch.append_column("r_name", pa.array(rnames, pa.string()))
+            # per-batch partial aggregation (combiner)
+            df = batch.select(["r_name", "c_acctbal"]).to_pandas()
+            agg = df.groupby("r_name", as_index=False).agg(
+                n_cust=("c_acctbal", "size"), sum_bal=("c_acctbal", "sum"))
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    partial = ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 2))
+    from ray.data.aggregate import Sum
+
+    out = partial.groupby("r_name").aggregate(
+        Sum("n_cust", alias_name="n_cust"),
+        Sum("sum_bal", alias_name="sum_bal"),
+    ).to_pandas()
+    out["sum_bal"] = out["sum_bal"].round(2)
+    out["n_cust"] = out["n_cust"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT r_name, count(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------- shuffle-scale join + agg
+
+def shuffle_join_agg(sf_dir: str):
+    """lineitem ⋈ orders revenue rollup.  The orders side (keyed lookup) is
+    broadcast — at KB scale this becomes a co-partitioned hash join on
+    l_orderkey, same semantics (SURVEY.md §2.4 'both sides large')."""
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
+    ref = ray.put(dict(zip(orders["o_orderkey"], orders["o_orderpriority"])))
+
+    class RevByPriority:
+        def __init__(self):
+            self.prio = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(batch.column("l_extendedprice"),
+                              pc.subtract(1.0, batch.column("l_discount")))
+            prios = [self.prio.get(k) for k in
+                     batch.column("l_orderkey").to_pylist()]
+            df = pd.DataFrame({"o_orderpriority": prios,
+                               "revenue": rev.to_numpy(zero_copy_only=False)})
+            agg = df.groupby("o_orderpriority", as_index=False).agg(
+                revenue=("revenue", "sum"), n_items=("revenue", "size"))
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    partial = ds.map_batches(RevByPriority, batch_format="pyarrow",
+                             concurrency=(1, 4))
+    from ray.data.aggregate import Sum
+
+    out = partial.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"),
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_SHUFFLE_JOIN_AGG = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q1-style pricing summary
+
+def pricing_summary(sf_dir: str):
+    """Wide aggregation with filter pushdown at the read (SURVEY.md 'prune
+    at the read'), per-batch partial agg, tiny global groupby."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pc.scalar(
+            pd.Timestamp("1998-09-02"))),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(1.0, batch.column("l_discount")))
+        batch = batch.append_column("disc_price", disc)
+        df = batch.select(["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "disc_price"]).to_pandas()
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    part_ds = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    out = part_ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+    out["sum_base"] = out["sum_base"].round(2)
+    out["sum_disc"] = out["sum_disc"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- distinct
+
+def distinct_values(sf_dir: str):
+    """DISTINCT over two columns (set-op family, SURVEY.md §2.7)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT_VALUES = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- JSON attribute parse (M11)
+
+def json_extract(sf_dir: str):
+    """Defensive JSON attribute parsing (neo4j_database.py:490-534):
+    extract props.k with a 0 fallback for malformed rows."""
+    ds = _pq(sf_dir, "events", ["event_id", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                ks.append(int(json.loads(p).get("k", 0)))
+            except (ValueError, TypeError):
+                ks.append(0)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("event_id").limit(1000)
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+FROM events ORDER BY event_id LIMIT 1000
+"""

@@ -1,0 +1,150 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shapes (all expressed as Ray Data primitives, per the guide's
+shingle→minhash→band→bucket-groupby pattern):
+
+- **exact**: content-hash column in a vectorized ``map_batches`` →
+  ``groupby(hash).map_groups(first)`` (deterministic representative =
+  smallest id).
+- **minhash-lsh**: per-batch shingling + k minhashes → explode to
+  (band_id, band_hash, doc_id) rows → ``groupby(band)`` → candidate pairs →
+  exact-Jaccard verification → near-dup pairs.  The band groupby is the only
+  shuffle and moves k/band-width small rows per doc, never the text.
+- **simhash**: 64-bit simhash per doc; near-dup candidates = equal value in
+  any of 4 16-bit bands (Hamming ≤ 3 guarantee by pigeonhole); verified by
+  Hamming distance.
+- **ngram-jaccard**: the verification kernel, exposed standalone.
+- **embedding near-dup**: cosine > τ pairs within a blocking key (label /
+  LSH bucket), numpy matmul per group.
+
+All per-doc hashing is seeded by stable sha1-derived 64-bit keys — no
+process-salted ``hash()`` anywhere (SURVEY.md §1.2).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------- shingles
+
+def char_shingles(text: str, k: int = 5) -> set[bytes]:
+    b = text.encode("utf-8")
+    if len(b) <= k:
+        return {b}
+    return {b[i : i + k] for i in range(len(b) - k + 1)}
+
+
+def word_ngrams(text: str, n: int = 3) -> set[tuple[str, ...]]:
+    toks = text.split()
+    if len(toks) <= n:
+        return {tuple(toks)}
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    return jaccard(word_ngrams(text_a, n), word_ngrams(text_b, n))
+
+
+# ---------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """k independent universal-hash minhashes over byte shingles.
+
+    Parameters derived from a fixed seed → identical on every worker."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: set[bytes]) -> np.ndarray:
+        if not shingles:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        base = np.array(
+            [int.from_bytes(hashlib.sha1(s).digest()[:8], "big")
+             for s in shingles],
+            dtype=np.uint64,
+        )
+        # (n_shingles, num_perm) universal hashing mod Mersenne prime
+        prods = (base[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return prods.min(axis=0)
+
+
+def minhash_batch(batch: pa.Table, *, id_col: str, text_col: str,
+                  hasher: MinHasher, bands: int, rows_per_band: int,
+                  shingle_k: int = 5) -> pa.Table:
+    """doc batch → exploded (band_id, band_hash, doc_id) rows."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_ids, out_band, out_hash = [], [], []
+    for did, text in zip(ids, texts):
+        sig = hasher.signature(char_shingles(text or "", shingle_k))
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.sha1(chunk.tobytes() + bytes([b])).hexdigest()[:16]
+            out_ids.append(did)
+            out_band.append(b)
+            out_hash.append(h)
+    return pa.table({
+        "doc_id": pa.array(out_ids),
+        "band_id": pa.array(out_band, type=pa.int32()),
+        "band_hash": pa.array(out_hash, type=pa.string()),
+    })
+
+
+def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """LSH bucket → unordered candidate pairs (id_a < id_b)."""
+    ids = sorted(set(group["doc_id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(text: str, k: int = 5) -> int:
+    """64-bit charwise simhash (sha1 feature hashing, unweighted)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for s in char_shingles(text, k):
+        h = np.uint64(int.from_bytes(hashlib.sha1(s).digest()[:8], "big"))
+        bits = (h >> shifts) & one
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+    ids = batch.column(id_col)
+    texts = batch.column(text_col).to_pylist()
+    sh = [simhash64(t or "") for t in texts]
+    bands = {f"sh_band{b}": [(h >> (16 * b)) & 0xFFFF for h in sh]
+             for b in range(4)}
+    cols = {"doc_id": ids, "simhash": pa.array(sh, type=pa.uint64())}
+    for k, v in bands.items():
+        cols[k] = pa.array(v, type=pa.int32())
+    return pa.table(cols)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
