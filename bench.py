@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Runs the headline KG-construction pipeline plus representative operator
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages": P,
+     "pages_per_s": ..., "triples_per_s": ...}
+
+``--scaling`` runs the headline job twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox proxy for the north rule's
+N vs 4N cluster sizes — no real multi-node cluster exists here).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False,
+             ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+
+    n_pages = int(os.environ.get(
+        "GRAFT_BENCH_PAGES",
+        {"sf0.001": 500, "sf0.01": 2000}.get(sf, 20000)))
+
+    queries: dict[str, float] = {}
+
+    # ---- warmup: spawn workers + import the package on every worker so
+    # the timed run measures steady-state throughput, not process spawn.
+    # Needs >= num_cpus concurrent blocks or only a fraction of the worker
+    # pool is warmed and the rest pay cold import inside the timed region.
+    run_kg_pipeline(synth_pages_dataset(
+        max(2000, num_cpus * 100), seed=1,
+        override_num_blocks=num_cpus * 4))
+
+    # ---- headline: KG construction over n_pages synthetic pages --------
+    t0 = time.perf_counter()
+    pages = synth_pages_dataset(n_pages, seed=42)
+    out = run_kg_pipeline(pages, concurrency=(2, max(2, num_cpus // 2)))
+    n_edges = out["edges"].count()
+    n_triples = out["triples"].count()
+    headline = time.perf_counter() - t0
+    queries["kg_pipeline"] = round(headline, 3)
+
+    # ---- operator queries over the sf tables ---------------------------
+    if not os.environ.get("GRAFT_BENCH_ONLY_KG"):
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in ("pricing_summary", "shuffle_join_agg", "exact_dedup",
+                     "minhash_pairs", "ann_topk", "token_count"):
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            if hasattr(res, "count"):
+                res.count()
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_construction_wall_time",
+        "value": queries["kg_pipeline"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "edges": n_edges,
+        "triples": n_triples,
+        "pages_per_s": round(n_pages / queries["kg_pipeline"], 1),
+        "triples_per_s": round(n_triples / queries["kg_pipeline"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job at N and 4N CPUs in fresh processes (the sandbox
+    proxy for N- vs 4N-node clusters).
+
+    Default levels are 4 and 16 on this 32-core box: using all 32 cores for
+    workers starves Ray's own system processes (raylet, object store,
+    driver) and understates scaling — exactly what a real multi-node cluster
+    does NOT do, since system daemons there have dedicated headroom.
+    Override with GRAFT_SCALING_CPUS="8,32" / GRAFT_SCALING_PAGES."""
+    lo_cpus, hi_cpus = (int(x) for x in os.environ.get(
+        "GRAFT_SCALING_CPUS", "4,16").split(","))
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "400000")
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY_KG="1",
+                   GRAFT_BENCH_PAGES=scaling_pages)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    thr_lo = lo["pages_per_s"]
+    thr_hi = hi["pages_per_s"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        f"sec_{lo_cpus}": lo["value"],
+        f"sec_{hi_cpus}": hi["value"],
+        f"pages_per_s_{lo_cpus}": thr_lo,
+        f"pages_per_s_{hi_cpus}": thr_hi,
+        "pages": lo["pages"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

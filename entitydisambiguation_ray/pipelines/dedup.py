@@ -11,17 +11,18 @@ import functools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
 from ..stages.dedup import (
     MinHasher,
-    bucket_to_pairs,
     hamming64,
     minhash_batch,
     ngram_jaccard,
     simhash_batch,
 )
+from ..stages.partition import dedup_first, partitioned_groupby
 from ..stages.textops import fingerprint_batch
 
 
@@ -32,15 +33,8 @@ def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
         functools.partial(fingerprint_batch, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-
-    def first_by_id(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
-    return (
-        hashed.groupby("fp_md5")
-        .map_groups(first_by_id, batch_format="pandas")
-        .drop_columns(["fp_md5", "fp_roll"])
-    )
+    return dedup_first(hashed, "fp_md5", nparts=32,
+                       sort_by=[id_col]).drop_columns(["fp_md5", "fp_roll"])
 
 
 def minhash_lsh_pairs(
@@ -65,13 +59,35 @@ def minhash_lsh_pairs(
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    candidates = (
-        exploded.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_to_pairs, batch_format="pandas")
-    )
+    # bucket → pairs via coarse hash partitioning on band_hash (one
+    # vectorized pandas groupby per partition instead of one map_groups
+    # call per micro-bucket — stages/partition.py rationale)
+    def buckets_to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = sorted(set(g["doc_id"].tolist()))
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    candidates = partitioned_groupby(exploded, "band_hash", buckets_to_pairs,
+                                     nparts=32)
     # distinct candidate pairs (a pair can collide in several bands)
-    candidates = candidates.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def pair_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("id_a"), pa.string()),
+            pc.cast(batch.column("id_b"), pa.string()), "\x1f")
+        return batch.append_column("pair_key", key)
+
+    candidates = dedup_first(
+        candidates.map_batches(pair_key, batch_format="pyarrow"),
+        "pair_key", nparts=32,
+    ).drop_columns(["pair_key"])
 
     texts = {r[id_col]: r[text_col]
              for r in ds.select_columns([id_col, text_col]).iter_rows()}
@@ -108,22 +124,36 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
     sims = {r["doc_id"]: r["simhash"] for r in
             sh.select_columns(["doc_id", "simhash"]).iter_rows()}
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out = [
-            (a, b, hamming64(int(sims[a]), int(sims[b])))
-            for i, a in enumerate(ids) for b in ids[i + 1 :]
-            if hamming64(int(sims[a]), int(sims[b])) <= max_hamming
-        ]
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+    def band_pairs(df: pd.DataFrame, band_col: str) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby(band_col, sort=False):
+            if len(g) < 2:
+                continue
+            ids = sorted(set(g["doc_id"].tolist()))
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    h = hamming64(int(sims[a]), int(sims[b]))
+                    if h <= max_hamming:
+                        rows.append((a, b, h))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     per_band = [
-        sh.groupby(f"sh_band{b}").map_groups(band_pairs, batch_format="pandas")
+        partitioned_groupby(sh, f"sh_band{b}",
+                            functools.partial(band_pairs,
+                                              band_col=f"sh_band{b}"),
+                            nparts=16)
         for b in range(4)
     ]
     allp = per_band[0].union(*per_band[1:])
-    return allp.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    def pkey(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("id_a"), pa.string()),
+            pc.cast(batch.column("id_b"), pa.string()), "\x1f")
+        return batch.append_column("pair_key", key)
+
+    return dedup_first(allp.map_batches(pkey, batch_format="pyarrow"),
+                       "pair_key", nparts=16).drop_columns(["pair_key"])
 
 
 def embedding_neardup_pairs(

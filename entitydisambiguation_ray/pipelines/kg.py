@@ -39,9 +39,15 @@ import ray.data as rd
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..sources.pages import make_pages_batch
 from ..sources.seed import build_seed_entities, build_vocab, seed_entities_table
-from ..stages.disambiguate import Disambiguator
+from ..stages.disambiguate import Disambiguator, disambiguate_batch
 from ..stages.extract import extract_text_batch, triples_batch
-from ..stages.mentions import MentionBuilder, surface_sig, unique_mentions_partial
+from ..stages.mentions import (
+    MentionBuilder,
+    build_mentions_batch,
+    surface_sig,
+    unique_mentions_partial,
+)
+from ..stages.partition import dedup_first
 
 
 def synth_pages_dataset(n_pages: int, seed: int = 42,
@@ -71,30 +77,68 @@ def triples_stage(extracted: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> 
 
 
 def mentions_stage(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
-                   concurrency: int | tuple = (1, 4)) -> rd.Dataset:
+                   concurrency: int | tuple | None = None) -> rd.Dataset:
+    """Stateless tasks over warm workers; the dictionary is a process-global
+    built once per worker (stages/mentions.get_builder rationale)."""
     return triples.map_batches(
-        MentionBuilder, batch_format="pyarrow",
-        batch_size=cfg.score_batch_size, concurrency=concurrency,
+        build_mentions_batch, batch_format="pyarrow",
+        batch_size=cfg.score_batch_size,
     )
 
 
-def unique_mentions_stage(mentions: rd.Dataset) -> rd.Dataset:
-    """Combiner + global first-per-sig (exact dedup, SURVEY.md §2.7)."""
-    partial = mentions.map_batches(
+_MENTION_CONTENT_COLS = [
+    "sig", "name", "type", "aliases_json", "definition", "attributes",
+    "rerank_text", "embed_text",
+]
+
+
+def unique_mentions_stage(mentions: rd.Dataset, exact: bool = True,
+                          coalesce: int = 16) -> rd.Dataset:
+    """Unique-mention collapse (exact dedup, SURVEY.md §2.7).
+
+    Projects to the content columns FIRST (url/sent_idx/role never reach the
+    shuffle — measured to halve the exchange volume), then:
+
+    - ``exact=True`` (default): per-batch combiner + coarse hash-partitioned
+      shuffle dedup (stages/partition.py) — P partitions, one vectorized
+      dedup kernel each.
+    - ``exact=False``: shuffle-free combiner chain (per-batch dedup →
+      coalescing repartition → per-block dedup).  Leaves residual cross-block
+      duplicates (identical rows, dropped deterministically when the driver
+      collects decisions) — only worth it when duplicate mass is dominated
+      by a small hot dictionary rather than a saturated id space."""
+    partial = mentions.select_columns(_MENTION_CONTENT_COLS).map_batches(
         unique_mentions_partial, batch_format="pyarrow", zero_copy_batch=True,
     )
-    return partial.groupby("sig").map_groups(
-        lambda df: df.head(1), batch_format="pandas",
+    if exact:
+        return dedup_first(partial, "sig", nparts=64)
+    coalesced = partial.repartition(coalesce)
+    return coalesced.map_batches(
+        unique_mentions_partial, batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
     )
 
 
 def decisions_stage(unique_mentions: rd.Dataset,
                     cfg: EngineConfig = DEFAULT_CONFIG,
-                    concurrency: int | tuple = (1, 4)) -> rd.Dataset:
+                    concurrency: int | tuple | None = None,
+                    use_actors: bool = False) -> rd.Dataset:
+    """Default: stateless tasks with a process-global Disambiguator (cheap
+    deterministic KB).  ``use_actors=True`` switches to a dedicated actor
+    pool — required when the encoder/reranker is a real model whose load
+    cost must be amortized explicitly (SURVEY.md A1/A2)."""
+    if use_actors:
+        return unique_mentions.map_batches(
+            Disambiguator, batch_format="pyarrow",
+            batch_size=cfg.score_batch_size,
+            concurrency=concurrency or (1, 4),
+            fn_constructor_kwargs={"cfg": cfg},
+        )
+    import functools
+
     return unique_mentions.map_batches(
-        Disambiguator, batch_format="pyarrow",
-        batch_size=cfg.score_batch_size, concurrency=concurrency,
-        fn_constructor_kwargs={"cfg": cfg},
+        functools.partial(disambiguate_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=cfg.score_batch_size,
     )
 
 
@@ -102,12 +146,23 @@ class EdgeRewriter:
     """triples → edges with canonical subj/obj ids.
 
     The canonical map (sig → canonical_id) is the small side: shipped once
-    via ``ray.put`` and resolved in ``__init__`` (broadcast hash join,
-    SURVEY.md §2.4)."""
+    via ``ray.put`` (broadcast hash join, SURVEY.md §2.4).  Deserialized
+    once per worker process and memoized by object-ref id, so stateless
+    tasks over warm workers pay the fetch exactly once."""
+
+    _CACHE: dict[str, object] = {}
 
     def __init__(self, canonical_ref=None, canonical_map=None):
-        self.map = (ray.get(canonical_ref) if canonical_ref is not None
-                    else canonical_map) or {}
+        if canonical_ref is not None:
+            key = canonical_ref.hex()
+            cached = EdgeRewriter._CACHE.get(key)
+            if cached is None:
+                cached = ray.get(canonical_ref)
+                EdgeRewriter._CACHE.clear()
+                EdgeRewriter._CACHE[key] = cached
+            self.map = cached
+        else:
+            self.map = canonical_map or {}
         self.dict = build_vocab(build_seed_entities())[0]
         self._sig_memo: dict[str, str] = {}
 
@@ -120,8 +175,8 @@ class EdgeRewriter:
         return c
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        src = [self._canon(s.as_py()) for s in batch.column("subj")]
-        dst = [self._canon(s.as_py()) for s in batch.column("obj")]
+        src = [self._canon(s) for s in batch.column("subj").to_pylist()]
+        dst = [self._canon(s) for s in batch.column("obj").to_pylist()]
         rel = batch.column("pred")
         return pa.table(
             {
@@ -132,6 +187,20 @@ class EdgeRewriter:
                 "sent_idx": batch.column("sent_idx"),
             }
         )
+
+
+_REWRITERS: dict[str, EdgeRewriter] = {}
+
+
+def rewrite_edges_batch(batch: pa.Table, *, canonical_ref) -> pa.Table:
+    """Stateless-task wrapper with a process-global rewriter per map ref."""
+    key = canonical_ref.hex()
+    rw = _REWRITERS.get(key)
+    if rw is None:
+        _REWRITERS.clear()
+        rw = EdgeRewriter(canonical_ref=canonical_ref)
+        _REWRITERS[key] = rw
+    return rw(batch)
 
 
 def _edge_key(batch: pa.Table) -> pa.Table:
@@ -177,15 +246,20 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     decisions = decisions_stage(uniq, cfg, concurrency)
 
     # decisions is small by construction (distinct mentions); collect the
-    # canonical map and created-entity rows on the driver
+    # canonical map and created-entity rows on the driver.  Residual
+    # duplicate sigs from the shuffle-free unique stage are identical rows —
+    # drop deterministically.
     dec_df = decisions.to_pandas()
+    dec_df = (dec_df.sort_values("sig", kind="mergesort")
+              .drop_duplicates("sig").reset_index(drop=True))
     canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
     map_ref = ray.put(canonical_map)
 
+    import functools
+
     edges_raw = triples.map_batches(
-        EdgeRewriter, batch_format="pyarrow",
-        batch_size=cfg.score_batch_size, concurrency=concurrency,
-        fn_constructor_kwargs={"canonical_ref": map_ref},
+        functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
+        batch_format="pyarrow", batch_size=cfg.score_batch_size,
     )
     edges = (
         edges_raw.map_batches(_edge_key, batch_format="pyarrow",
@@ -193,10 +267,9 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
         .select_columns(["edge_key", "src_id", "dst_id", "rel_type"])
         .map_batches(_dedup_partial_edges, batch_format="pyarrow",
                      zero_copy_batch=True)
-        .groupby("edge_key")
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
-        .select_columns(["src_id", "dst_id", "rel_type"])
     )
+    edges = dedup_first(edges, "edge_key", nparts=64).select_columns(
+        ["src_id", "dst_id", "rel_type"])
 
     # entities table: seed KB ∪ created entities (dedup by canonical_id,
     # deterministic first-by-sig — the reference's MERGE-upsert last-wins

@@ -74,6 +74,7 @@ class OnlineOracle:
         vec = self.kb.encoder.encode([m["embed_text"]])
         self.kb.rows.append(row)
         self.kb.matrix = np.vstack([self.kb.matrix, vec])
+        self.kb.norms = np.append(self.kb.norms, np.linalg.norm(vec))
         self.kb.types = np.append(self.kb.types, m["type"] or "")
         if m["type"]:
             idx = len(self.kb.rows) - 1

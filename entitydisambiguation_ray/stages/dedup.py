@@ -107,15 +107,6 @@ def minhash_batch(batch: pa.Table, *, id_col: str, text_col: str,
     })
 
 
-def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """LSH bucket → unordered candidate pairs (id_a < id_b)."""
-    ids = sorted(set(group["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame(pairs, columns=["id_a", "id_b"])
-
-
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str, k: int = 5) -> int:

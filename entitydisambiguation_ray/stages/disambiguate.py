@@ -93,6 +93,7 @@ class KnowledgeBase:
                                     row.get("definition"), row.get("attributes")))
             self.rows.append(row)
         self.matrix = self.encoder.encode(texts)  # (n, dim) float32
+        self.norms = np.linalg.norm(self.matrix, axis=1) if len(self.rows) else np.zeros(0)
         self.types = np.array([r["type"] or "" for r in self.rows], dtype=object)
         self.by_type: dict[str, np.ndarray] = {}
         for t in set(self.types.tolist()):
@@ -100,14 +101,20 @@ class KnowledgeBase:
                 self.by_type[t] = np.flatnonzero(self.types == t)
 
     def candidates(self, vec: np.ndarray, mtype: str | None,
-                   top_k: int) -> list[tuple[int, float]]:
+                   top_k: int, ips: np.ndarray | None = None
+                   ) -> list[tuple[int, float]]:
         """Reference smart-search (disambiguation.py:168-224): returns
-        [(kb_row_index, bge_score), ...] truncated to top_k."""
+        [(kb_row_index, bge_score), ...] truncated to top_k.
+
+        ``ips`` — optional precomputed ``matrix @ vec`` column (the batched
+        caller computes one (kb, batch) matmul instead of per-mention
+        matrix-vector products)."""
         n = self.matrix.shape[0]
         if n == 0:
             return []
         # global vector path, top_k*2 by raw inner product (IndexFlatIP)
-        ips = self.matrix @ vec
+        if ips is None:
+            ips = self.matrix @ vec
         k2 = min(top_k * 2, n)
         top = np.argpartition(-ips, k2 - 1)[:k2]
         top = top[np.argsort(-ips[top], kind="stable")]
@@ -117,10 +124,9 @@ class KnowledgeBase:
             # type-scoped brute-force cosine, threshold 0.1
             # (disambiguation.py:191-193); vectors are L2-normalized so the
             # explicit norm division is a no-op kept for zero-vector safety
-            sub = self.matrix[idxs]
-            norms = np.linalg.norm(sub, axis=1) * (np.linalg.norm(vec) or 1.0)
+            norms = self.norms[idxs] * (np.linalg.norm(vec) or 1.0)
             norms[norms == 0] = 1.0
-            cos = (sub @ vec) / norms
+            cos = ips[idxs] / norms
             keep = cos > 0.1
             order = np.argsort(-cos[keep], kind="stable")
             type_results = [(int(idxs[np.flatnonzero(keep)[j]]), float(cos[keep][j]))
@@ -149,8 +155,8 @@ class Disambiguator:
         self.kb = KnowledgeBase(entities=entities, cfg=cfg)
         self.encoder = self.kb.encoder
 
-    def decide_one(self, name, mtype, aliases, rtext, vec):
-        cands = self.kb.candidates(vec, mtype, self.cfg.faiss_top_k)
+    def decide_one(self, name, mtype, aliases, rtext, vec, ips=None):
+        cands = self.kb.candidates(vec, mtype, self.cfg.faiss_top_k, ips=ips)
         if not cands:
             # disambiguation.py:126-135 — empty → create, confidence 1.0
             return (CREATE, None, None, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0,
@@ -177,24 +183,36 @@ class Disambiguator:
                 decision_reasoning(decision, best.final_score, self.cfg),
                 canonical)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        etexts = [v.as_py() for v in batch.column("embed_text")]
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: C901
+        etexts = batch.column("embed_text").to_pylist()
         vecs = self.encoder.encode(etexts)
+        # one (kb, batch) matmul for the whole batch (vectorized retrieval;
+        # the reference encodes and searches one text per call,
+        # vectorization.py:487-495 — this is the #1 throughput fix)
+        all_ips = self.kb.matrix @ vecs.T if len(self.kb.rows) else None
+        names = batch.column("name").to_pylist()
+        types = batch.column("type").to_pylist()
+        aliases_l = batch.column("aliases_json").to_pylist()
+        rtexts = batch.column("rerank_text").to_pylist()
+        sigs = batch.column("sig").to_pylist()
+        defs = batch.column("definition").to_pylist()
+        attrs = batch.column("attributes").to_pylist()
         cols: dict[str, list] = {name: [] for name in DECISION_SCHEMA.names}
         for i in range(batch.num_rows):
-            name = batch.column("name")[i].as_py()
-            mtype = batch.column("type")[i].as_py()
-            aliases = json.loads(batch.column("aliases_json")[i].as_py())
-            rtext = batch.column("rerank_text")[i].as_py()
+            name = names[i]
+            mtype = types[i]
+            aliases = json.loads(aliases_l[i])
+            rtext = rtexts[i]
             (decision, match_id, match_name, bge, ce, fz, lv, final, conf,
              reasoning, canonical) = self.decide_one(
-                name, mtype, aliases, rtext, vecs[i])
-            cols["sig"].append(batch.column("sig")[i].as_py())
+                name, mtype, aliases, rtext, vecs[i],
+                ips=all_ips[:, i] if all_ips is not None else None)
+            cols["sig"].append(sigs[i])
             cols["name"].append(name)
             cols["type"].append(mtype)
-            cols["aliases_json"].append(batch.column("aliases_json")[i].as_py())
-            cols["definition"].append(batch.column("definition")[i].as_py())
-            cols["attributes"].append(batch.column("attributes")[i].as_py())
+            cols["aliases_json"].append(aliases_l[i])
+            cols["definition"].append(defs[i])
+            cols["attributes"].append(attrs[i])
             cols["decision"].append(decision)
             cols["match_id"].append(match_id)
             cols["match_name"].append(match_name)
@@ -207,3 +225,26 @@ class Disambiguator:
             cols["reasoning"].append(reasoning)
             cols["canonical_id"].append(canonical)
         return pa.table(cols, schema=DECISION_SCHEMA)
+
+
+_DISAMBIGUATORS: dict[int, "Disambiguator"] = {}
+
+
+def get_disambiguator(cfg: EngineConfig = DEFAULT_CONFIG) -> Disambiguator:
+    """Process-global instance (one per worker, keyed by config identity).
+
+    The seed KB + encoder cache are cheap to build (~100 ms) and
+    deterministic, so stateless tasks over warm workers beat a dedicated
+    actor pool (fresh process + import per actor).  A model-backed encoder
+    (encoder="bge") IS actor-pool territory — use ``decisions_stage(...,
+    use_actors=True)`` then."""
+    key = id(cfg) if cfg is not DEFAULT_CONFIG else 0
+    d = _DISAMBIGUATORS.get(key)
+    if d is None:
+        d = Disambiguator(cfg=cfg)
+        _DISAMBIGUATORS[key] = d
+    return d
+
+
+def disambiguate_batch(batch: pa.Table, *, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    return get_disambiguator(cfg)(batch)

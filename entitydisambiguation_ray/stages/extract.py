@@ -21,8 +21,7 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     Drops the wide ``html``/``text`` columns immediately (project early —
     binary payloads must not travel through downstream shuffles).
     """
-    html_col = batch.column("html")
-    content = [extract_text(h.as_py()) for h in html_col]
+    content = [extract_text(h) for h in batch.column("html").to_pylist()]
     return pa.table(
         {
             "url": batch.column("url"),
@@ -44,11 +43,10 @@ def triples_batch(batch: pa.Table) -> pa.Table:
     preds: list[str] = []
     objs: list[str] = []
     sent_idxs: list[int] = []
-    url_col = batch.column("url")
-    content_col = batch.column("content")
-    for i in range(batch.num_rows):
-        url = url_col[i].as_py()
-        for subj, rel, obj, sent_idx in extract_triples(content_col[i].as_py()):
+    url_col = batch.column("url").to_pylist()
+    content_col = batch.column("content").to_pylist()
+    for url, content in zip(url_col, content_col):
+        for subj, rel, obj, sent_idx in extract_triples(content):
             urls.append(url)
             subjs.append(subj)
             preds.append(rel)

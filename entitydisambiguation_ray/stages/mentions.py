@@ -76,15 +76,13 @@ class MentionBuilder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in MENTION_SCHEMA.names}
-        url_col = batch.column("url")
-        subj_col = batch.column("subj")
-        obj_col = batch.column("obj")
-        sent_col = batch.column("sent_idx")
-        for i in range(batch.num_rows):
-            url = url_col[i].as_py()
-            sent_idx = sent_col[i].as_py()
-            for role, surface in (("subj", subj_col[i].as_py()),
-                                  ("obj", obj_col[i].as_py())):
+        url_col = batch.column("url").to_pylist()
+        subj_col = batch.column("subj").to_pylist()
+        obj_col = batch.column("obj").to_pylist()
+        sent_col = batch.column("sent_idx").to_pylist()
+        for url, subj, obj, sent_idx in zip(url_col, subj_col, obj_col,
+                                            sent_col):
+            for role, surface in (("subj", subj), ("obj", obj)):
                 (sig, name, etype, aliases_json, definition, attributes,
                  rtext, etext) = self._mention_for(surface)
                 cols["sig"].append(sig)
@@ -106,13 +104,32 @@ def unique_mentions_partial(batch: pa.Table) -> pa.Table:
     the global groupby — SURVEY.md §4 'pre-aggregate inside map_batches')."""
     seen: set[str] = set()
     keep: list[int] = []
-    sig_col = batch.column("sig")
-    for i in range(batch.num_rows):
-        s = sig_col[i].as_py()
+    for i, s in enumerate(batch.column("sig").to_pylist()):
         if s not in seen:
             seen.add(s)
             keep.append(i)
     return batch.take(keep)
+
+
+_BUILDER: MentionBuilder | None = None
+
+
+def get_builder() -> MentionBuilder:
+    """Process-global builder: the dictionary is built once per WORKER
+    PROCESS and shared by every task that runs there.  Running mention
+    building as stateless tasks over warm workers avoids spawning dedicated
+    actor processes (each of which pays a fresh interpreter + package import
+    — measured to dominate wall time at high concurrency); an actor pool
+    remains the right shape only when state is too big to rebuild per worker
+    (e.g. a model), which this dictionary is not."""
+    global _BUILDER
+    if _BUILDER is None:
+        _BUILDER = MentionBuilder()
+    return _BUILDER
+
+
+def build_mentions_batch(batch: pa.Table) -> pa.Table:
+    return get_builder()(batch)
 
 
 def surface_sig(surface: str, mention_dict) -> str:

@@ -1,0 +1,131 @@
+"""Per-partition lineage manifests + resumable runs (north rule: "every
+stage emits per-partition lineage manifests and counters to a checkpoint
+store so a killed run resumes from the last committed partition").
+
+Layout for a checkpointed run rooted at ``run_dir``::
+
+    run_dir/
+      <stage>/part-00000/...parquet      (stage output, one dir per partition)
+      _manifests/<stage>/part-00000.json (commit record, written AFTER data)
+
+A partition is **committed** iff its manifest exists; manifests are written
+atomically (tmp + rename) after the partition's parquet files are fully
+written, so a kill at any point leaves either no manifest (partition re-runs)
+or a complete partition (skipped on resume).  Deterministic partition
+contents (stable ids, stable hashes — SURVEY.md M12/M13) make re-running an
+uncommitted partition idempotent.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass
+
+
+@dataclass
+class PartitionManifest:
+    stage: str
+    part: int
+    input_fingerprint: str
+    rows: int
+    files: list[str]
+    wall_s: float
+    counters: dict
+
+
+class CheckpointStore:
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+
+    def _manifest_path(self, stage: str, part: int) -> str:
+        return os.path.join(self.run_dir, "_manifests", stage,
+                            f"part-{part:05d}.json")
+
+    def part_dir(self, stage: str, part: int) -> str:
+        return os.path.join(self.run_dir, stage, f"part-{part:05d}")
+
+    def is_committed(self, stage: str, part: int) -> bool:
+        return os.path.exists(self._manifest_path(stage, part))
+
+    def committed_parts(self, stage: str) -> list[int]:
+        d = os.path.join(self.run_dir, "_manifests", stage)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[5:10]) for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+
+    def commit(self, manifest: PartitionManifest):
+        path = self._manifest_path(manifest.stage, manifest.part)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(manifest), f)
+        os.replace(tmp, path)  # atomic commit point
+
+    def read_manifest(self, stage: str, part: int) -> PartitionManifest:
+        with open(self._manifest_path(stage, part)) as f:
+            return PartitionManifest(**json.load(f))
+
+    def clear_uncommitted(self, stage: str, nparts: int):
+        """Remove data dirs for partitions without a manifest (crash debris)."""
+        for p in range(nparts):
+            if not self.is_committed(stage, p):
+                d = self.part_dir(stage, p)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
+
+def partition_files(dirs: list[str]) -> list[str]:
+    """Explicit parquet file list for a set of partition dirs —
+    ``ray.data.read_parquet`` treats a LIST of paths as files, so expand
+    directories driver-side (cheap: one listdir per partition)."""
+    out = []
+    for d in dirs:
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                out.append(os.path.join(d, f))
+    return out
+
+
+def run_partitioned_stage(
+    store: CheckpointStore, stage: str, nparts: int,
+    make_partition_ds, input_fingerprint: str,
+) -> list[str]:
+    """Execute a stage partition-by-partition with commit manifests.
+
+    ``make_partition_ds(part) -> ray.data.Dataset`` builds the partition's
+    output; committed partitions are skipped entirely (their parquet is
+    reused).  Returns the list of partition dirs (committed + newly built).
+
+    At cluster scale each partition is itself a distributed Dataset write —
+    the commit unit is the partition, the parallel unit is the block."""
+    store.clear_uncommitted(stage, nparts)
+    dirs = []
+    for p in range(nparts):
+        pdir = store.part_dir(stage, p)
+        if store.is_committed(stage, p):
+            dirs.append(pdir)
+            continue
+        t0 = time.perf_counter()
+        ds = make_partition_ds(p)
+        os.makedirs(pdir, exist_ok=True)
+        ds.write_parquet(pdir)
+        rows = sum(1 for _ in ())  # row count from manifest files below
+        files = sorted(os.listdir(pdir))
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows
+                   for f in files if f.endswith(".parquet"))
+        store.commit(PartitionManifest(
+            stage=stage, part=p, input_fingerprint=input_fingerprint,
+            rows=rows, files=files,
+            wall_s=round(time.perf_counter() - t0, 3),
+            counters={"rows": rows},
+        ))
+        dirs.append(pdir)
+    return dirs

@@ -1,0 +1,108 @@
+"""Dedup family + ANN: kernel correctness and Dataset-level behavior."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from entitydisambiguation_ray.stages.dedup import (
+    MinHasher,
+    char_shingles,
+    hamming64,
+    jaccard,
+    ngram_jaccard,
+    simhash64,
+    word_ngrams,
+)
+
+
+def test_shingles_and_jaccard():
+    assert char_shingles("abcdef", 3) == {b"abc", b"bcd", b"cde", b"def"}
+    assert char_shingles("ab", 3) == {b"ab"}
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+    assert word_ngrams("a b c d", 3) == {("a", "b", "c"), ("b", "c", "d")}
+    assert ngram_jaccard("a b c", "a b c") == 1.0
+    assert ngram_jaccard("a b c", "x y z") == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    h = MinHasher(num_perm=128)
+    a = char_shingles("the quick brown fox jumps over the lazy dog" * 3, 5)
+    b = char_shingles("the quick brown fox jumped over the lazy dog" * 3, 5)
+    true_j = jaccard(a, b)
+    sa, sb = h.signature(a), h.signature(b)
+    est = float(np.mean(sa == sb))
+    assert abs(est - true_j) < 0.15
+    # identical sets → identical signatures; deterministic across instances
+    assert np.array_equal(h.signature(a), MinHasher(num_perm=128).signature(a))
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy dog")
+    c = simhash64("the quick brown fox jumped over a lazy dog")
+    d = simhash64("completely unrelated text about databases and queries")
+    assert a == b
+    assert hamming64(a, c) < hamming64(a, d)
+    assert 0 <= a < (1 << 64)
+
+
+def test_exact_dedup_dataset(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.from_items([
+        {"doc_id": 3, "text": "aaa"}, {"doc_id": 1, "text": "aaa"},
+        {"doc_id": 2, "text": "bbb"},
+    ])
+    out = exact_dedup(ds, "doc_id", "text").to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight ") * 4
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("fox", "cat")},   # near-dup
+        {"doc_id": 2, "text": base},                          # exact dup
+        {"doc_id": 3, "text": "entirely different content about ray data "
+                              "pipelines and arrow batches " * 6},
+    ]
+    out = minhash_lsh_pairs(rd.from_items(rows), "doc_id", "text",
+                            threshold=0.4).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs or (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ann_brute_force_and_lsh(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    mat = rng.standard_normal((300, 32))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = rd.from_items(rows)
+    q = mat[:2]
+    exact = brute_force_topk(ds, "vec_id", "embedding", q, k=5)
+    # self is always rank 1 with cosine 1
+    top1 = exact[exact["rank"] == 1]
+    assert top1["vec_id"].tolist() == [0, 1]
+    assert np.allclose(top1["cosine"], 1.0)
+    assert (exact.groupby("query_idx").size() == 5).all()
+    # LSH recall: the query's own bucket always contains the query itself
+    approx = lsh_topk(ds, "vec_id", "embedding", q, k=5, n_planes=4)
+    a1 = approx[approx["rank"] == 1]
+    assert a1["vec_id"].tolist() == [0, 1]
+    # approximate top-5 overlaps exact top-5 meaningfully
+    for qi in (0, 1):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        assert len(e & a) >= 1
