@@ -71,6 +71,22 @@ def _q_kg_edges(sf_dir: str):
     return _kg_outputs(sf_dir, "edges")
 
 
+def _q_kg_edges_blocked(sf_dir: str):
+    """Flagship pipeline on the blocked (scale-path) candidate generator:
+    multi-probe blocking + salt-based skew splitting (stages/candidates.py)."""
+    _quiet()
+    from entitydisambiguation_ray.config import EngineConfig
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+
+    cfg = EngineConfig(candidate_gen="blocked")
+    pages = synth_pages_dataset(200, seed=42)
+    out = run_kg_pipeline(pages, cfg=cfg)
+    return out["edges"].sort(["src_id", "dst_id", "rel_type"])
+
+
 def _q_kg_decisions(sf_dir: str):
     return _kg_outputs(sf_dir, "decisions")
 
@@ -210,6 +226,55 @@ def _q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fp_md5"]).sort("doc_id")
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media corpus → image feature stage
+    (decode stubbed deterministically — stages/multimodal.py)."""
+    _quiet()
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.multimodal import (
+        MEDIA_BATCH_SIZE,
+        ImageFeatureStage,
+        synth_media_batch,
+    )
+
+    ds = rd.range(300).map_batches(
+        lambda b: synth_media_batch(b["id"]), batch_format="numpy",
+        batch_size=MEDIA_BATCH_SIZE)
+    imgs = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow")
+    out = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                           batch_size=MEDIA_BATCH_SIZE, concurrency=2)
+    return out.sort("media_id")
+
+
+def _q_media_frames(sf_dir: str):
+    """Multimodal frame/segment sampling (audio+video, deterministic)."""
+    _quiet()
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.multimodal import (
+        MEDIA_BATCH_SIZE,
+        FrameSampleStage,
+        synth_media_batch,
+    )
+
+    ds = rd.range(300).map_batches(
+        lambda b: synth_media_batch(b["id"]), batch_format="numpy",
+        batch_size=MEDIA_BATCH_SIZE)
+    av = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("kind"),
+                                    value_set=pa.array(["audio", "video"]))),
+        batch_format="pyarrow")
+    out = av.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         batch_size=MEDIA_BATCH_SIZE, concurrency=2)
+    return out.sort(["media_id", "frame_idx"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entitydisambiguation_ray.pipelines import relational as R
 
@@ -229,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": R.pricing_summary,
         "distinct_values": R.distinct_values,
         "json_extract": R.json_extract,
+        "tumbling_window": R.tumbling_window,
+        "session_window": R.session_window,
         # text analysis (SQL-checked)
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -243,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,                    # SQL-checked
         # KG construction flagship (rows-only: iterative/stateful)
         "kg_edges": _q_kg_edges,
+        "kg_edges_blocked": _q_kg_edges_blocked,
+        # multimodal plumbing (rows-only; decode stubbed, see module doc)
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "kg_decisions": _q_kg_decisions,
         "kg_entities": _q_kg_entities,
         "extracted_text": _q_extracted_text,
@@ -267,6 +338,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "distinct_values": R.SQL_DISTINCT_VALUES,
         "json_extract": R.SQL_JSON_EXTRACT,
+        "tumbling_window": R.SQL_TUMBLING_WINDOW,
+        "session_window": R.SQL_SESSION_WINDOW,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
         "langid": SQL_LANGID,

@@ -243,7 +243,12 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     triples = triples.materialize()
     mentions = mentions_stage(triples, cfg, concurrency)
     uniq = unique_mentions_stage(mentions)
-    decisions = decisions_stage(uniq, cfg, concurrency)
+    if cfg.candidate_gen == "blocked":
+        from ..stages.candidates import blocked_decisions
+
+        decisions = blocked_decisions(uniq, build_seed_entities(), cfg)
+    else:
+        decisions = decisions_stage(uniq, cfg, concurrency)
 
     # decisions is small by construction (distinct mentions); collect the
     # canonical map and created-entity rows on the driver.  Residual

@@ -425,3 +425,105 @@ SQL_JSON_EXTRACT = """
 SELECT event_id, COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
 FROM events ORDER BY event_id LIMIT 1000
 """
+
+
+# --------------------------------------------------------------- streaming-shaped: tumbling window
+
+def tumbling_window(sf_dir: str):
+    """Tumbling 1-day event-time windows per event_type (the engine's
+    windowed-aggregate shape: window id assigned in a vectorized
+    map_batches, per-batch partial agg, tiny global groupby — Ray Data has
+    no event-time runtime, so windows are plain grouped aggregation over an
+    ordered log; ordering assumption: ts is event time, no late data)."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())  # microseconds
+        win = pc.divide(ts, 86_400_000_000)
+        df = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_id": pc.cast(win, pa.int64()),
+            "value": batch.column("value"),
+        }).to_pandas()
+        agg = df.groupby(["event_type", "window_id"], as_index=False).agg(
+            sum_value=("value", "sum"), n=("value", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = out.groupby(["event_type", "window_id"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+       ROUND(SUM(value), 2) AS sum_value,
+       count(*) AS n
+FROM events
+GROUP BY event_type, window_id
+ORDER BY event_type, window_id
+"""
+
+
+# --------------------------------------------------------------- streaming-shaped: session windows
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def session_window(sf_dir: str):
+    """Gap-based session windows per user (30-min inactivity gap): the
+    per-key ordered-log pattern — groupby(key).map_groups over the sorted
+    group with pandas (guide: 'streaming-shaped workloads')."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64")
+        new = (ts - ts.shift(1)).fillna(SESSION_GAP_US + 1) > SESSION_GAP_US
+        g = g.assign(session_id=new.cumsum().astype("int64"))
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").sort(["user_id", "session_id"])
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""

@@ -1,0 +1,241 @@
+"""Blocked candidate generation — the 100 TB scale path
+(``candidate_gen="blocked"``) with multi-probe blocking and explicit
+salt-based skew splitting.
+
+The default path broadcasts the KB (stages/disambiguate.py) — correct while
+the KB fits every worker.  When it does not, mentions and KB entities are
+co-partitioned on BLOCKING KEYS and candidates are generated inside each
+block (SURVEY.md §7.3 shuffle #1):
+
+    block(surface, type) = (type or '∅') + '|' + first char of surface
+
+- **KB side** (small side of each block): every entity is indexed under the
+  blocks of ALL its surfaces (name + aliases), under both its typed key and
+  the untyped '∅' key — so alias-form and untyped mentions still meet it.
+- **Mention side**: each mention probes the blocks of all its surfaces
+  (typed key when typed, plus the untyped key); per-block decisions are then
+  reduced per mention to the best-scoring one (max final_score,
+  deterministic tie-break) — the union of per-block candidate sets
+  approximates the reference's global index search (vectorization.py:516).
+
+Head blocks ("United States"-class surfaces, dominant types) are split with
+deterministic salts: the mention side of a hot block partitions into
+``n_salt`` sub-blocks by signature hash, the KB slice is REPLICATED into
+every sub-block — the classic skew-join treatment (north rule's "explicit
+salt-based skew splitting").  Salts come from a cheap two-pass
+count-then-salt aggregation (SURVEY.md §4).  Salting is decision-invariant
+(tested): every mention still sees its block's full KB slice.
+"""
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.encoder import make_encoder
+from ..functions.hashing import generate_entity_id
+from ..functions.scoring import (
+    MERGE,
+    comprehensive_score,
+    decision_reasoning,
+    make_decision,
+)
+from ..stages.disambiguate import DECISION_SCHEMA, KnowledgeBase
+from ..stages.partition import partitioned_groupby
+
+
+def _head(surface: str) -> str:
+    s = surface.strip()
+    return s[:1].lower() if s else "∅"
+
+
+def block_of(surface: str, etype: str | None) -> str:
+    return f"{etype or '∅'}|{_head(surface)}"
+
+
+def mention_probe_blocks(name: str, aliases: list[str],
+                         etype: str | None) -> list[str]:
+    blocks = []
+    for s in [name, *aliases]:
+        if etype:
+            blocks.append(block_of(s, etype))
+        blocks.append(block_of(s, None))
+    # dedup, order-stable
+    return list(dict.fromkeys(blocks))
+
+
+def entity_index_blocks(name: str, aliases: list[str],
+                        etype: str | None) -> list[str]:
+    return mention_probe_blocks(name, aliases, etype)
+
+
+def explode_mention_probes(batch: pa.Table) -> pa.Table:
+    """mention row → one row per probe block."""
+    idx: list[int] = []
+    blocks: list[str] = []
+    names = batch.column("name").to_pylist()
+    types = batch.column("type").to_pylist()
+    aliases = batch.column("aliases_json").to_pylist()
+    for i in range(batch.num_rows):
+        for b in mention_probe_blocks(names[i], json.loads(aliases[i]),
+                                      types[i]):
+            idx.append(i)
+            blocks.append(b)
+    out = batch.take(idx)
+    return out.append_column("block", pa.array(blocks, pa.string()))
+
+
+def hot_blocks(probes: rd.Dataset, threshold: int) -> dict[str, int]:
+    """Pass 1: block → probe count; {block: n_salt} for hot blocks."""
+    from ray.data.aggregate import Count
+
+    counts = probes.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
+    out = {}
+    for _, r in counts.iterrows():
+        if r["n"] > threshold:
+            out[r["block"]] = min(16, int(np.ceil(r["n"] / threshold)))
+    return out
+
+
+def blocked_decisions(
+    unique_mentions: rd.Dataset, entities: list,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    salt_threshold: int = 2000, nparts: int = 64,
+) -> rd.Dataset:
+    """Co-partitioned candidate generation + scoring + per-mention reduce.
+
+    ``entities`` — KB rows; at real scale this arrives as a Dataset whose
+    tag/explode runs distributedly — the shuffle shape is identical."""
+    probes = unique_mentions.map_batches(
+        explode_mention_probes, batch_format="pyarrow", zero_copy_batch=True)
+    salts = hot_blocks(probes, salt_threshold)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        keys = []
+        for sig, block in zip(batch.column("sig").to_pylist(),
+                              batch.column("block").to_pylist()):
+            k = salts.get(block, 1)
+            s = zlib.crc32(sig.encode()) % k if k > 1 else 0
+            keys.append(f"{block}#{s}")
+        return batch.append_column("block_salted", pa.array(keys, pa.string()))
+
+    probes = probes.map_batches(add_salt, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # KB side: block → entity rows (dedup by id within block)
+    kb_by_block: dict[str, dict[str, dict]] = {}
+    for e in entities:
+        row = e if isinstance(e, dict) else {
+            "id": e.id, "name": e.name, "type": e.type,
+            "aliases": list(e.aliases), "definition": e.definition,
+            "attributes": e.attributes, "source": e.source,
+            "create_time": e.create_time,
+        }
+        for b in entity_index_blocks(row["name"], row["aliases"], row["type"]):
+            kb_by_block.setdefault(b, {})[row["id"]] = row
+    kb_lists = {b: list(d.values()) for b, d in kb_by_block.items()}
+
+    import ray
+
+    kb_ref = ray.put(kb_lists)
+    _local: dict[str, object] = {}
+
+    def decide_block(df: pd.DataFrame) -> pd.DataFrame:
+        # one partition holds many (salted) blocks; per-block KB index
+        # built once per block (A3 per-block IndexFlatIP equivalent),
+        # encoder + KB slices cached per worker process
+        if "kb" not in _local:
+            _local["kb"] = ray.get(kb_ref)
+            _local["enc"] = make_encoder(cfg.encoder, cfg.embedding_dim)
+            _local["kbcache"] = {}
+        kb_all = _local["kb"]
+        enc = _local["enc"]
+        kbcache = _local["kbcache"]
+        out_rows = []
+        for skey, g in df.groupby("block_salted", sort=False):
+            block = skey.rsplit("#", 1)[0]
+            kb_rows = kb_all.get(block, [])
+            if kb_rows:
+                kb = kbcache.get(block)
+                if kb is None:
+                    kb = KnowledgeBase(entities=kb_rows, encoder=enc, cfg=cfg)
+                    kbcache[block] = kb
+            else:
+                kb = None
+            vecs = enc.encode(g["embed_text"].tolist())
+            ips_all = (kb.matrix @ vecs.T) if kb is not None else None
+            for j, (_, m) in enumerate(g.iterrows()):
+                if kb is None:
+                    out_rows.append(_create_row(m, cfg))
+                    continue
+                cands = kb.candidates(vecs[j], m["type"], cfg.faiss_top_k,
+                                      ips=ips_all[:, j])
+                if not cands:
+                    out_rows.append(_create_row(m, cfg))
+                    continue
+                aliases = json.loads(m["aliases_json"])
+                best, best_row = None, None
+                for i, bge in cands:
+                    row = kb.rows[i]
+                    s = comprehensive_score(
+                        m["name"], aliases, m["type"], m["rerank_text"],
+                        row["name"], row["aliases"], row["type"],
+                        row["rerank_text"], bge, cfg)
+                    if best is None or s.final_score > best.final_score:
+                        best, best_row = s, row
+                decision = make_decision(best.final_score, cfg=cfg)
+                match_id = best_row["id"] if decision == MERGE else None
+                canonical = (match_id if decision == MERGE
+                             else generate_entity_id(m["name"], m["type"]))
+                out_rows.append({
+                    "sig": m["sig"], "name": m["name"], "type": m["type"],
+                    "aliases_json": m["aliases_json"],
+                    "definition": m["definition"],
+                    "attributes": m["attributes"],
+                    "decision": decision, "match_id": match_id,
+                    "match_name": (best_row["name"] if decision == MERGE
+                                   else None),
+                    "bge_score": best.bge_score,
+                    "cross_encoder_score": best.cross_encoder_score,
+                    "fuzz_score": best.fuzz_score,
+                    "levenshtein_score": best.levenshtein_score,
+                    "final_score": best.final_score,
+                    "confidence": best.final_score,
+                    "reasoning": decision_reasoning(decision,
+                                                    best.final_score, cfg),
+                    "canonical_id": canonical,
+                })
+        cols = [f.name for f in DECISION_SCHEMA]
+        return pd.DataFrame(out_rows, columns=cols)
+
+    per_block = partitioned_groupby(probes, "block_salted", decide_block,
+                                    nparts=nparts)
+
+    def reduce_best(df: pd.DataFrame) -> pd.DataFrame:
+        # per-mention reduce over probe blocks: max final_score;
+        # deterministic tie-break (merge over create, then canonical asc)
+        df = df.sort_values(
+            ["sig", "final_score", "decision", "canonical_id"],
+            ascending=[True, False, True, True], kind="mergesort")
+        return df.drop_duplicates("sig")
+
+    return partitioned_groupby(per_block, "sig", reduce_best, nparts=16)
+
+
+def _create_row(m, cfg: EngineConfig) -> dict:
+    return {
+        "sig": m["sig"], "name": m["name"], "type": m["type"],
+        "aliases_json": m["aliases_json"], "definition": m["definition"],
+        "attributes": m["attributes"], "decision": "create",
+        "match_id": None, "match_name": None,
+        "bge_score": 0.0, "cross_encoder_score": 0.0, "fuzz_score": 0.0,
+        "levenshtein_score": 0.0, "final_score": 0.0, "confidence": 1.0,
+        "reasoning": "no similar entities: create",
+        "canonical_id": generate_entity_id(m["name"], m["type"]),
+    }
