@@ -52,6 +52,11 @@ class EngineConfig:
     # over a broadcast KB matrix (reference-exact, vectorization.py:516);
     # "blocked" = name/type blocking + per-block index (the 100 TB path).
     candidate_gen: str = "global"
+    # round-2 canonicalization: score created entities against each other
+    # (blocked, self-excluded) and union-find the merge edges — the batch
+    # equivalent of the reference's online merges into just-created
+    # entities (SURVEY.md §2.9/§7.4 order-dependence).
+    round2_dedup: bool = True
 
     # batch / parallelism knobs (per-stage defaults; sized so that
     # batch_size x concurrency fits a 4 GB worker heap at 1024-dim fp32)

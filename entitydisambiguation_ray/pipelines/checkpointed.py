@@ -95,6 +95,10 @@ def _downstream(triples: rd.Dataset, cfg: EngineConfig, concurrency) -> dict:
     dec_df = decisions.to_pandas()
     dec_df = (dec_df.sort_values("sig", kind="mergesort")
               .drop_duplicates("sig").reset_index(drop=True))
+    if cfg.round2_dedup:
+        from .kg import round2_canonicalize
+
+        dec_df = round2_canonicalize(dec_df, cfg)
     canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
     map_ref = ray.put(canonical_map)
     edges_raw = triples.map_batches(

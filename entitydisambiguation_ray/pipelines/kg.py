@@ -87,8 +87,8 @@ def mentions_stage(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
 
 
 _MENTION_CONTENT_COLS = [
-    "sig", "name", "type", "aliases_json", "definition", "attributes",
-    "rerank_text", "embed_text",
+    "sig", "first_occ", "name", "type", "aliases_json", "definition",
+    "attributes", "rerank_text", "embed_text",
 ]
 
 
@@ -111,7 +111,9 @@ def unique_mentions_stage(mentions: rd.Dataset, exact: bool = True,
         unique_mentions_partial, batch_format="pyarrow", zero_copy_batch=True,
     )
     if exact:
-        return dedup_first(partial, "sig", nparts=64)
+        # sort_by first_occ → the surviving row carries the corpus-earliest
+        # occurrence (used as the round-2 canonical representative order)
+        return dedup_first(partial, "sig", nparts=64, sort_by=["first_occ"])
     coalesced = partial.repartition(coalesce)
     return coalesced.map_batches(
         unique_mentions_partial, batch_format="pyarrow",
@@ -225,6 +227,77 @@ def _dedup_partial_edges(batch: pa.Table) -> pa.Table:
     return batch.take(keep)
 
 
+def round2_canonicalize(dec_df: pd.DataFrame,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Round-2 canonicalization: created entities scored against each other
+    (blocked candidate gen with self-exclusion), ``merge`` pairs become
+    union-find edges, and each component canonicalizes to the member whose
+    first corpus occurrence is earliest — the order-free equivalent of the
+    reference's online "first create wins, later duplicates merge into it"
+    behavior (SURVEY.md §2.9).
+
+    Runs on the driver-resident decisions table (small by construction);
+    ``state.unionfind.distributed_components`` is the drop-in replacement
+    when distinct mentions outgrow driver memory."""
+    from ..functions.textbuild import embed_text as _etext
+    from ..functions.textbuild import rerank_text as _rtext
+    from ..stages.candidates import blocked_decisions
+    from ..state.unionfind import UnionFind
+
+    created = dec_df[dec_df["decision"] == "create"]
+    cand = dec_df[dec_df["decision"] != "merge"]
+    if len(created) < 2 or cand.empty:
+        return dec_df
+
+    kb_rows = [
+        {
+            "id": r.canonical_id, "name": r.name, "type": r.type,
+            "aliases": json.loads(r.aliases_json), "definition": r.definition,
+            "attributes": r.attributes, "source": "round1-created",
+            "create_time": None,
+        }
+        for r in created.itertuples()
+    ]
+    ment = cand[["sig", "first_occ", "name", "type", "aliases_json",
+                 "definition", "attributes", "canonical_id"]].copy()
+    ment = ment.rename(columns={"canonical_id": "self_id"})
+    ment["rerank_text"] = [
+        _rtext(n, json.loads(a), d)
+        for n, a, d in zip(ment["name"], ment["aliases_json"],
+                           ment["definition"])
+    ]
+    ment["embed_text"] = [
+        _etext(n, json.loads(a), d, at)
+        for n, a, d, at in zip(ment["name"], ment["aliases_json"],
+                               ment["definition"], ment["attributes"])
+    ]
+    r2 = blocked_decisions(
+        rd.from_pandas(ment.reset_index(drop=True)), kb_rows, cfg,
+        self_id_col="self_id",
+    ).to_pandas()
+
+    self_of = dict(zip(ment["sig"], ment["self_id"]))
+    merges = r2[r2["decision"] == "merge"]
+    if merges.empty:
+        return dec_df
+    uf = UnionFind()
+    for r in merges.itertuples():
+        uf.union(self_of[r.sig], r.match_id)
+    comp = uf.components()
+
+    # representative = member with earliest first_occ among creates
+    occ = (created.groupby("canonical_id")["first_occ"].min())
+    rep: dict[str, str] = {}
+    for node, root in comp.items():
+        cur = rep.get(root)
+        if cur is None or (occ.get(node, "￿"), node) < (occ.get(cur, "￿"), cur):
+            rep[root] = node
+    remap = {node: rep[root] for node, root in comp.items()}
+    out = dec_df.copy()
+    out["canonical_id"] = out["canonical_id"].map(lambda c: remap.get(c, c))
+    return out
+
+
 def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
                     concurrency: int | tuple = (1, 4)) -> dict:
     """Full pipeline.  Returns dict of result Datasets / frames:
@@ -257,6 +330,8 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     dec_df = decisions.to_pandas()
     dec_df = (dec_df.sort_values("sig", kind="mergesort")
               .drop_duplicates("sig").reset_index(drop=True))
+    if cfg.round2_dedup:
+        dec_df = round2_canonicalize(dec_df, cfg)
     canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
     map_ref = ray.put(canonical_map)
 
@@ -280,7 +355,12 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     # deterministic first-by-sig — the reference's MERGE-upsert last-wins
     # semantics collapse to first-wins under a stable sort, SURVEY.md S6)
     created = dec_df[dec_df["decision"] != "merge"]
-    created = created.sort_values("sig").drop_duplicates("canonical_id")
+    # representative row per canonical id = earliest corpus occurrence
+    # (ties broken by sig) — matches the online "first create defines the
+    # entity" and is stable across parallelism levels
+    created = created.sort_values(["canonical_id", "first_occ", "sig"],
+                                  kind="mergesort")
+    created = created.drop_duplicates("canonical_id")
     seed_df = pd.DataFrame(seed_entities_table())
     created_df = pd.DataFrame(
         {
@@ -307,3 +387,29 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
         "edges": edges,
         "entities_df": entities,
     }
+
+
+def write_graph_outputs(out: dict, out_dir: str) -> dict:
+    """Graph materialization (SURVEY.md S6/S7/S10): entities, canonical
+    edges and the decisions audit log as sorted Parquet directories —
+    ``{out_dir}/{edges,entities,decisions}/``.  One directory per table so
+    a rerun overwrites a table atomically-enough for batch use; the
+    checkpointed pipeline (pipelines/checkpointed.py) adds per-partition
+    manifests on top for mid-run resume."""
+    import os
+
+    paths = {}
+    edges_dir = os.path.join(out_dir, "edges")
+    out["edges"].sort(["src_id", "dst_id", "rel_type"]).write_parquet(edges_dir)
+    paths["edges"] = edges_dir
+
+    ents_dir = os.path.join(out_dir, "entities")
+    ents = out["entities_df"].sort_values("id").reset_index(drop=True)
+    rd.from_pandas(ents).write_parquet(ents_dir)
+    paths["entities"] = ents_dir
+
+    dec_dir = os.path.join(out_dir, "decisions")
+    dec = out["decisions_df"].sort_values("sig").reset_index(drop=True)
+    rd.from_pandas(dec).write_parquet(dec_dir)
+    paths["decisions"] = dec_dir
+    return paths

@@ -107,11 +107,16 @@ def blocked_decisions(
     unique_mentions: rd.Dataset, entities: list,
     cfg: EngineConfig = DEFAULT_CONFIG,
     salt_threshold: int = 2000, nparts: int = 64,
+    self_id_col: str | None = None,
 ) -> rd.Dataset:
     """Co-partitioned candidate generation + scoring + per-mention reduce.
 
     ``entities`` — KB rows; at real scale this arrives as a Dataset whose
-    tag/explode runs distributedly — the shuffle shape is identical."""
+    tag/explode runs distributedly — the shuffle shape is identical.
+
+    ``self_id_col`` — optional mention column holding the mention's own
+    entity id; candidates with that id are skipped (used by the round-2
+    created-vs-created dedup pass, where every mention is also in the KB)."""
     probes = unique_mentions.map_batches(
         explode_mention_probes, batch_format="pyarrow", zero_copy_batch=True)
     salts = hot_blocks(probes, salt_threshold)
@@ -179,6 +184,13 @@ def blocked_decisions(
                 if not cands:
                     out_rows.append(_create_row(m, cfg))
                     continue
+                if self_id_col is not None:
+                    own = m[self_id_col]
+                    cands = [(i, b) for i, b in cands
+                             if kb.rows[i]["id"] != own]
+                    if not cands:
+                        out_rows.append(_create_row(m, cfg))
+                        continue
                 aliases = json.loads(m["aliases_json"])
                 best, best_row = None, None
                 for i, bge in cands:
@@ -194,7 +206,8 @@ def blocked_decisions(
                 canonical = (match_id if decision == MERGE
                              else generate_entity_id(m["name"], m["type"]))
                 out_rows.append({
-                    "sig": m["sig"], "name": m["name"], "type": m["type"],
+                    "sig": m["sig"], "first_occ": m.get("first_occ", ""),
+                    "name": m["name"], "type": m["type"],
                     "aliases_json": m["aliases_json"],
                     "definition": m["definition"],
                     "attributes": m["attributes"],
@@ -230,7 +243,8 @@ def blocked_decisions(
 
 def _create_row(m, cfg: EngineConfig) -> dict:
     return {
-        "sig": m["sig"], "name": m["name"], "type": m["type"],
+        "sig": m["sig"], "first_occ": m.get("first_occ", ""),
+        "name": m["name"], "type": m["type"],
         "aliases_json": m["aliases_json"], "definition": m["definition"],
         "attributes": m["attributes"], "decision": "create",
         "match_id": None, "match_name": None,

@@ -45,6 +45,7 @@ from ..sources.seed import build_seed_entities
 DECISION_SCHEMA = pa.schema(
     [
         ("sig", pa.string()),
+        ("first_occ", pa.string()),
         ("name", pa.string()),
         ("type", pa.string()),
         ("aliases_json", pa.string()),
@@ -195,6 +196,9 @@ class Disambiguator:
         aliases_l = batch.column("aliases_json").to_pylist()
         rtexts = batch.column("rerank_text").to_pylist()
         sigs = batch.column("sig").to_pylist()
+        occs = (batch.column("first_occ").to_pylist()
+                if "first_occ" in batch.column_names
+                else [""] * batch.num_rows)
         defs = batch.column("definition").to_pylist()
         attrs = batch.column("attributes").to_pylist()
         cols: dict[str, list] = {name: [] for name in DECISION_SCHEMA.names}
@@ -208,6 +212,7 @@ class Disambiguator:
                 name, mtype, aliases, rtext, vecs[i],
                 ips=all_ips[:, i] if all_ips is not None else None)
             cols["sig"].append(sigs[i])
+            cols["first_occ"].append(occs[i])
             cols["name"].append(name)
             cols["type"].append(mtype)
             cols["aliases_json"].append(aliases_l[i])

@@ -33,6 +33,7 @@ MENTION_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("sent_idx", pa.int32()),
         ("role", pa.string()),  # subj | obj
+        ("first_occ", pa.string()),  # sortable corpus position "url|sent|role"
         ("name", pa.string()),
         ("type", pa.string()),
         ("aliases_json", pa.string()),
@@ -89,6 +90,9 @@ class MentionBuilder:
                 cols["url"].append(url)
                 cols["sent_idx"].append(sent_idx)
                 cols["role"].append(role)
+                # "a" < "b": subj precedes obj at the same sentence position
+                cols["first_occ"].append(
+                    f"{url}|{sent_idx:06d}|{'a' if role == 'subj' else 'b'}")
                 cols["name"].append(name)
                 cols["type"].append(etype)
                 cols["aliases_json"].append(aliases_json)
@@ -100,15 +104,23 @@ class MentionBuilder:
 
 
 def unique_mentions_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: keep the first row per sig (pre-aggregation before
-    the global groupby — SURVEY.md §4 'pre-aggregate inside map_batches')."""
-    seen: set[str] = set()
-    keep: list[int] = []
-    for i, s in enumerate(batch.column("sig").to_pylist()):
-        if s not in seen:
-            seen.add(s)
-            keep.append(i)
-    return batch.take(keep)
+    """Per-batch combiner: keep the min-``first_occ`` row per sig
+    (pre-aggregation before the global dedup — SURVEY.md §4).  Rows of a sig
+    are content-identical except ``first_occ``; keeping the corpus-earliest
+    occurrence makes the downstream round-2 canonical representative match
+    the online oracle's "first create wins" semantics order-freely."""
+    best: dict[str, int] = {}
+    sigs = batch.column("sig").to_pylist()
+    if "first_occ" in batch.column_names:
+        occs = batch.column("first_occ").to_pylist()
+        for i, (s, o) in enumerate(zip(sigs, occs)):
+            j = best.get(s)
+            if j is None or o < occs[j]:
+                best[s] = i
+    else:
+        for i, s in enumerate(sigs):
+            best.setdefault(s, i)
+    return batch.take(sorted(best.values()))
 
 
 _BUILDER: MentionBuilder | None = None

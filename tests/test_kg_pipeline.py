@@ -65,3 +65,19 @@ def test_parallelism_invariance(ray_session, kg_result):
     s1 = set(zip(e1["src_id"], e1["rel_type"], e1["dst_id"]))
     s2 = set(zip(e2["src_id"], e2["rel_type"], e2["dst_id"]))
     assert s1 == s2
+
+
+def test_write_graph_outputs(ray_session, kg_result, tmp_path):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.kg import write_graph_outputs
+    from entitydisambiguation_ray.state.checkpoint import partition_files
+
+    paths = write_graph_outputs(kg_result, str(tmp_path / "graph"))
+    edges = rd.read_parquet(
+        partition_files([paths["edges"]])).to_pandas()
+    assert len(edges) == kg_result["edges"].count()
+    ents = rd.read_parquet(partition_files([paths["entities"]])).to_pandas()
+    assert ents["id"].is_unique
+    dec = rd.read_parquet(partition_files([paths["decisions"]])).to_pandas()
+    assert dec["sig"].is_unique
