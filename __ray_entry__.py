@@ -95,6 +95,35 @@ def _q_kg_entities(sf_dir: str):
     return _kg_outputs(sf_dir, "entities")
 
 
+def _q_kg_candidates(sf_dir: str):
+    """The reference's /match-candidates path (T3 + M10): ranked candidate
+    lists with similarity details for each unique mention."""
+    _quiet()
+    from entitydisambiguation_ray.pipelines.kg import (
+        extract_stage,
+        mentions_stage,
+        synth_pages_dataset,
+        triples_stage,
+        unique_mentions_stage,
+    )
+    from entitydisambiguation_ray.stages.disambiguate import CandidateMatcher
+
+    pages = synth_pages_dataset(150, seed=42)
+    uniq = unique_mentions_stage(mentions_stage(
+        triples_stage(extract_stage(pages))))
+    out = uniq.map_batches(CandidateMatcher, batch_format="pyarrow",
+                           batch_size=1024, concurrency=(1, 2))
+    return out.sort(["sig", "rank"])
+
+
+def _q_kg_decision_stats(sf_dir: str):
+    """G2: decision → count + rate over the pipeline's own decisions."""
+    df = _kg_outputs(sf_dir, "decisions")
+    agg = df.groupby("decision", as_index=False).agg(cnt=("sig", "size"))
+    agg["rate"] = (agg["cnt"] / agg["cnt"].sum()).round(6)
+    return agg.sort_values("decision").reset_index(drop=True)
+
+
 def _q_extracted_text(sf_dir: str):
     """Extraction slice: byte-stable text per url (north-rule invariant)."""
     _quiet()
@@ -318,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": R.json_extract,
         "tumbling_window": R.tumbling_window,
         "session_window": R.session_window,
+        "semi_join": R.semi_join,
+        "anti_join": R.anti_join,
         # text analysis (SQL-checked)
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -339,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "kg_decisions": _q_kg_decisions,
         "kg_entities": _q_kg_entities,
+        "kg_candidates": _q_kg_candidates,
+        "kg_decision_stats": _q_kg_decision_stats,
         "extracted_text": _q_extracted_text,
     }
 
@@ -363,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": R.SQL_JSON_EXTRACT,
         "tumbling_window": R.SQL_TUMBLING_WINDOW,
         "session_window": R.SQL_SESSION_WINDOW,
+        "semi_join": R.SQL_SEMI_JOIN,
+        "anti_join": R.SQL_ANTI_JOIN,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
         "langid": SQL_LANGID,

@@ -241,7 +241,6 @@ def round2_canonicalize(dec_df: pd.DataFrame,
     when distinct mentions outgrow driver memory."""
     from ..functions.textbuild import embed_text as _etext
     from ..functions.textbuild import rerank_text as _rtext
-    from ..stages.candidates import blocked_decisions
     from ..state.unionfind import UnionFind
 
     created = dec_df[dec_df["decision"] == "create"]
@@ -258,31 +257,74 @@ def round2_canonicalize(dec_df: pd.DataFrame,
         }
         for r in created.itertuples()
     ]
-    ment = cand[["sig", "first_occ", "name", "type", "aliases_json",
-                 "definition", "attributes", "canonical_id"]].copy()
-    ment = ment.rename(columns={"canonical_id": "self_id"})
-    ment["rerank_text"] = [
-        _rtext(n, json.loads(a), d)
-        for n, a, d in zip(ment["name"], ment["aliases_json"],
-                           ment["definition"])
-    ]
-    ment["embed_text"] = [
-        _etext(n, json.loads(a), d, at)
-        for n, a, d, at in zip(ment["name"], ment["aliases_json"],
-                               ment["definition"], ment["attributes"])
-    ]
-    r2 = blocked_decisions(
-        rd.from_pandas(ment.reset_index(drop=True)), kb_rows, cfg,
-        self_id_col="self_id",
-    ).to_pandas()
+    # Candidate generation for round 2 is EXACT via a token-overlap
+    # inverted index over M1 rerank texts: a merge needs final >= 0.72, and
+    # with bge, fuzz, lev <= 1 that forces cross_encoder_score > 0, i.e. at
+    # least one shared M1 token — so pairs with disjoint token sets (the
+    # entire random-novel-name mass) are provably non-merges and are never
+    # scored or even embedded.  Ultra-common tokens (df > 256) are skipped
+    # as pair generators (a pair sharing ONLY such tokens is noise); at
+    # driver-exceeding scale the same index is a (token → id) groupby.
+    from collections import defaultdict
 
-    self_of = dict(zip(ment["sig"], ment["self_id"]))
-    merges = r2[r2["decision"] == "merge"]
-    if merges.empty:
+    edges: list[tuple[str, str]] = []
+    tok_index: dict[str, list[int]] = defaultdict(list)
+    kb_rtexts: list[str] = []
+    for k, row in enumerate(kb_rows):
+        rt = _rtext(row["name"], row["aliases"], row["definition"])
+        kb_rtexts.append(rt)
+        for t in set(rt.split()):
+            tok_index[t].append(k)
+    hot_df = {t for t, ids in tok_index.items() if len(ids) > 256}
+
+    from ..functions.encoder import make_encoder
+    from ..functions.scoring import MERGE, comprehensive_score
+
+    enc = make_encoder(cfg.encoder, cfg.embedding_dim)
+    kb_vec_cache: dict[int, object] = {}
+
+    def kb_vec(k: int):
+        v = kb_vec_cache.get(k)
+        if v is None:
+            row = kb_rows[k]
+            v = enc.encode([_etext(row["name"], row["aliases"],
+                                   row["definition"], row["attributes"])])[0]
+            kb_vec_cache[k] = v
+        return v
+
+    kb_idx_of = {row["id"]: k for k, row in enumerate(kb_rows)}
+    m_cols = [cand[c].tolist() for c in
+              ("name", "type", "aliases_json", "definition", "attributes",
+               "canonical_id")]
+    for name, mtype, aliases_json, definition, attributes, self_id in zip(
+            *m_cols):
+        aliases = json.loads(aliases_json)
+        rtext = _rtext(name, aliases, definition)
+        cand_ids: set[int] = set()
+        for t in set(rtext.split()):
+            if t in hot_df:
+                continue
+            cand_ids.update(tok_index.get(t, ()))
+        cand_ids.discard(kb_idx_of.get(self_id, -1))
+        if not cand_ids:
+            continue
+        # embed lazily: only mentions with surviving candidates pay it
+        mvec = enc.encode([_etext(name, aliases, definition, attributes)])[0]
+        for k in cand_ids:
+            row = kb_rows[k]
+            bge = float(mvec @ kb_vec(k))
+            s = comprehensive_score(
+                name, aliases, mtype, rtext,
+                row["name"], row["aliases"], row["type"],
+                kb_rtexts[k], bge, cfg)
+            if s.final_score >= cfg.high_threshold:
+                edges.append((self_id, row["id"]))
+
+    if not edges:
         return dec_df
     uf = UnionFind()
-    for r in merges.itertuples():
-        uf.union(self_of[r.sig], r.match_id)
+    for a, b in edges:
+        uf.union(a, b)
     comp = uf.components()
 
     # representative = member with earliest first_occ among creates

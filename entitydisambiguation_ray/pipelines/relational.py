@@ -527,3 +527,66 @@ FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+
+# --------------------------------------------------------------- semi / anti join
+
+def semi_join(sf_dir: str):
+    """Customers that HAVE orders: broadcast the key set and filter inside
+    map_batches (guide: 'semi/anti join — broadcast the key set (or a Bloom
+    filter of it)')."""
+    keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    ref = ray.put(keys)
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in
+                    batch.column("c_custkey").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(Semi, batch_format="pyarrow",
+                          concurrency=(1, 2)).sort("c_custkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def anti_join(sf_dir: str):
+    """Customers without any URGENT order (anti join, broadcast key set of
+    a filtered probe side)."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    keys = set(urgent.unique("o_custkey"))
+    ref = ray.put(keys)
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in
+                    batch.column("c_custkey").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(Anti, batch_format="pyarrow",
+                          concurrency=(1, 2)).sort("c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""

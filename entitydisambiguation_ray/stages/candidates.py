@@ -152,93 +152,137 @@ def blocked_decisions(
     _local: dict[str, object] = {}
 
     def decide_block(df: pd.DataFrame) -> pd.DataFrame:
-        # one partition holds many (salted) blocks; per-block KB index
-        # built once per block (A3 per-block IndexFlatIP equivalent),
-        # encoder + KB slices cached per worker process
+        # one partition holds many (salted) blocks; encoder + per-block KB
+        # indexes cached per worker process
         if "kb" not in _local:
             _local["kb"] = ray.get(kb_ref)
             _local["enc"] = make_encoder(cfg.encoder, cfg.embedding_dim)
             _local["kbcache"] = {}
-        kb_all = _local["kb"]
-        enc = _local["enc"]
-        kbcache = _local["kbcache"]
-        out_rows = []
-        for skey, g in df.groupby("block_salted", sort=False):
-            block = skey.rsplit("#", 1)[0]
-            kb_rows = kb_all.get(block, [])
-            if kb_rows:
-                kb = kbcache.get(block)
-                if kb is None:
-                    kb = KnowledgeBase(entities=kb_rows, encoder=enc, cfg=cfg)
-                    kbcache[block] = kb
-            else:
-                kb = None
-            vecs = enc.encode(g["embed_text"].tolist())
-            ips_all = (kb.matrix @ vecs.T) if kb is not None else None
-            for j, (_, m) in enumerate(g.iterrows()):
-                if kb is None:
-                    out_rows.append(_create_row(m, cfg))
-                    continue
-                cands = kb.candidates(vecs[j], m["type"], cfg.faiss_top_k,
-                                      ips=ips_all[:, j])
-                if not cands:
-                    out_rows.append(_create_row(m, cfg))
-                    continue
-                if self_id_col is not None:
-                    own = m[self_id_col]
-                    cands = [(i, b) for i, b in cands
-                             if kb.rows[i]["id"] != own]
-                    if not cands:
-                        out_rows.append(_create_row(m, cfg))
-                        continue
-                aliases = json.loads(m["aliases_json"])
-                best, best_row = None, None
-                for i, bge in cands:
-                    row = kb.rows[i]
-                    s = comprehensive_score(
-                        m["name"], aliases, m["type"], m["rerank_text"],
-                        row["name"], row["aliases"], row["type"],
-                        row["rerank_text"], bge, cfg)
-                    if best is None or s.final_score > best.final_score:
-                        best, best_row = s, row
-                decision = make_decision(best.final_score, cfg=cfg)
-                match_id = best_row["id"] if decision == MERGE else None
-                canonical = (match_id if decision == MERGE
-                             else generate_entity_id(m["name"], m["type"]))
-                out_rows.append({
-                    "sig": m["sig"], "first_occ": m.get("first_occ", ""),
-                    "name": m["name"], "type": m["type"],
-                    "aliases_json": m["aliases_json"],
-                    "definition": m["definition"],
-                    "attributes": m["attributes"],
-                    "decision": decision, "match_id": match_id,
-                    "match_name": (best_row["name"] if decision == MERGE
-                                   else None),
-                    "bge_score": best.bge_score,
-                    "cross_encoder_score": best.cross_encoder_score,
-                    "fuzz_score": best.fuzz_score,
-                    "levenshtein_score": best.levenshtein_score,
-                    "final_score": best.final_score,
-                    "confidence": best.final_score,
-                    "reasoning": decision_reasoning(decision,
-                                                    best.final_score, cfg),
-                    "canonical_id": canonical,
-                })
-        cols = [f.name for f in DECISION_SCHEMA]
-        return pd.DataFrame(out_rows, columns=cols)
+        return _decide_partition(df, _local["kb"], _local["enc"],
+                                 _local["kbcache"], cfg, self_id_col)
 
     per_block = partitioned_groupby(probes, "block_salted", decide_block,
                                     nparts=nparts)
+    return partitioned_groupby(per_block, "sig", _reduce_best, nparts=16)
 
-    def reduce_best(df: pd.DataFrame) -> pd.DataFrame:
-        # per-mention reduce over probe blocks: max final_score;
-        # deterministic tie-break (merge over create, then canonical asc)
-        df = df.sort_values(
-            ["sig", "final_score", "decision", "canonical_id"],
-            ascending=[True, False, True, True], kind="mergesort")
-        return df.drop_duplicates("sig")
 
-    return partitioned_groupby(per_block, "sig", reduce_best, nparts=16)
+def _decide_partition(df: pd.DataFrame, kb_all: dict, enc, kbcache: dict,
+                      cfg: EngineConfig, self_id_col: str | None
+                      ) -> pd.DataFrame:
+    """Shared decide kernel: one partition of salted-block probe rows →
+    per-(mention, block) decision rows.  Per-block KB index built once
+    (A3 per-block IndexFlatIP equivalent) and cached by the caller."""
+    out_rows = []
+    for skey, g in df.groupby("block_salted", sort=False):
+        block = skey.rsplit("#", 1)[0]
+        kb_rows = kb_all.get(block, [])
+        if kb_rows:
+            kb = kbcache.get(block)
+            if kb is None:
+                kb = KnowledgeBase(entities=kb_rows, encoder=enc, cfg=cfg)
+                kbcache[block] = kb
+        else:
+            kb = None
+        vecs = enc.encode(g["embed_text"].tolist())
+        ips_all = (kb.matrix @ vecs.T) if kb is not None else None
+        for j, (_, m) in enumerate(g.iterrows()):
+            if kb is None:
+                out_rows.append(_create_row(m, cfg))
+                continue
+            cands = kb.candidates(vecs[j], m["type"], cfg.faiss_top_k,
+                                  ips=ips_all[:, j])
+            if not cands:
+                out_rows.append(_create_row(m, cfg))
+                continue
+            if self_id_col is not None:
+                own = m[self_id_col]
+                cands = [(i, b) for i, b in cands
+                         if kb.rows[i]["id"] != own]
+                if not cands:
+                    out_rows.append(_create_row(m, cfg))
+                    continue
+            aliases = json.loads(m["aliases_json"])
+            best, best_row = None, None
+            for i, bge in cands:
+                row = kb.rows[i]
+                s = comprehensive_score(
+                    m["name"], aliases, m["type"], m["rerank_text"],
+                    row["name"], row["aliases"], row["type"],
+                    row["rerank_text"], bge, cfg)
+                if best is None or s.final_score > best.final_score:
+                    best, best_row = s, row
+            decision = make_decision(best.final_score, cfg=cfg)
+            match_id = best_row["id"] if decision == MERGE else None
+            canonical = (match_id if decision == MERGE
+                         else generate_entity_id(m["name"], m["type"]))
+            out_rows.append({
+                "sig": m["sig"], "first_occ": m.get("first_occ", ""),
+                "name": m["name"], "type": m["type"],
+                "aliases_json": m["aliases_json"],
+                "definition": m["definition"],
+                "attributes": m["attributes"],
+                "decision": decision, "match_id": match_id,
+                "match_name": (best_row["name"] if decision == MERGE
+                               else None),
+                "bge_score": best.bge_score,
+                "cross_encoder_score": best.cross_encoder_score,
+                "fuzz_score": best.fuzz_score,
+                "levenshtein_score": best.levenshtein_score,
+                "final_score": best.final_score,
+                "confidence": best.final_score,
+                "reasoning": decision_reasoning(decision,
+                                                best.final_score, cfg),
+                "canonical_id": canonical,
+            })
+    cols = [f.name for f in DECISION_SCHEMA]
+    return pd.DataFrame(out_rows, columns=cols)
+
+
+def _reduce_best(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-mention reduce over probe blocks: max final_score with a
+    deterministic tie-break (then canonical asc)."""
+    df = df.sort_values(
+        ["sig", "final_score", "decision", "canonical_id"],
+        ascending=[True, False, True, True], kind="mergesort")
+    return df.drop_duplicates("sig")
+
+
+def _kb_lists(entities: list) -> dict[str, list[dict]]:
+    kb_by_block: dict[str, dict[str, dict]] = {}
+    for e in entities:
+        row = e if isinstance(e, dict) else {
+            "id": e.id, "name": e.name, "type": e.type,
+            "aliases": list(e.aliases), "definition": e.definition,
+            "attributes": e.attributes, "source": e.source,
+            "create_time": e.create_time,
+        }
+        for b in entity_index_blocks(row["name"], row["aliases"], row["type"]):
+            kb_by_block.setdefault(b, {})[row["id"]] = row
+    return {b: list(d.values()) for b, d in kb_by_block.items()}
+
+
+def blocked_decisions_local(
+    ment_df: pd.DataFrame, entities: list,
+    cfg: EngineConfig = DEFAULT_CONFIG, self_id_col: str | None = None,
+) -> pd.DataFrame:
+    """Driver-local execution of the same blocked decide kernel — the
+    small-side short-circuit used by round-2 canonicalization when the
+    created-entity set is driver-resident anyway (a few Ray executions of
+    fixed latency would dominate the actual compute).  Identical semantics
+    to ``blocked_decisions`` (shared `_decide_partition` / `_reduce_best`);
+    switch to the distributed form when mentions outgrow the driver."""
+    kb_lists = _kb_lists(entities)
+    enc = make_encoder(cfg.encoder, cfg.embedding_dim)
+    rows = []
+    for _, m in ment_df.iterrows():
+        for b in mention_probe_blocks(m["name"], json.loads(m["aliases_json"]),
+                                      m["type"]):
+            r = dict(m)
+            r["block_salted"] = f"{b}#0"
+            rows.append(r)
+    probes = pd.DataFrame(rows)
+    per_block = _decide_partition(probes, kb_lists, enc, {}, cfg, self_id_col)
+    return _reduce_best(per_block).reset_index(drop=True)
 
 
 def _create_row(m, cfg: EngineConfig) -> dict:

@@ -253,3 +253,91 @@ def get_disambiguator(cfg: EngineConfig = DEFAULT_CONFIG) -> Disambiguator:
 
 def disambiguate_batch(batch: pa.Table, *, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
     return get_disambiguator(cfg)(batch)
+
+
+CANDIDATES_SCHEMA = pa.schema(
+    [
+        ("sig", pa.string()),
+        ("name", pa.string()),
+        ("rank", pa.int32()),
+        ("candidate_id", pa.string()),
+        ("candidate_name", pa.string()),
+        ("bge_score", pa.float64()),
+        ("cross_encoder_score", pa.float64()),
+        ("fuzz_score", pa.float64()),
+        ("levenshtein_score", pa.float64()),
+        ("final_score", pa.float64()),
+        ("similarity_details", pa.string()),
+    ]
+)
+
+
+def similarity_details(name_a, type_a, name_b, type_b, s) -> str:
+    """M10 — human-readable multi-line score explanation
+    (disambiguation.py:439-463, English rendering)."""
+    lines = [
+        f"input: {name_a} ({type_a or 'untyped'})",
+        f"candidate: {name_b} ({type_b or 'untyped'})",
+    ]
+    if type_a and type_b:
+        lines.append("type match: " + ("yes" if type_a == type_b else
+                                       f"no ({type_a} vs {type_b})"))
+    else:
+        lines.append("type info incomplete")
+    lines += [
+        f"bge: {s.bge_score:.3f}",
+        f"cross_encoder: {s.cross_encoder_score:.3f}",
+        f"fuzz: {s.fuzz_score:.3f}",
+        f"levenshtein: {s.levenshtein_score:.3f}",
+        f"final: {s.final_score:.3f}",
+    ]
+    return "\n".join(lines)
+
+
+class CandidateMatcher:
+    """The reference's ``/match-candidates`` path (disambiguation.py:226-257):
+    same smart search + scoring as auto-decide, but returns the ranked
+    candidate list with similarity details instead of a decision."""
+
+    def __init__(self, entities=None, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.kb = KnowledgeBase(entities=entities, cfg=cfg)
+        self.encoder = self.kb.encoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        etexts = batch.column("embed_text").to_pylist()
+        vecs = self.encoder.encode(etexts)
+        all_ips = self.kb.matrix @ vecs.T if len(self.kb.rows) else None
+        names = batch.column("name").to_pylist()
+        types = batch.column("type").to_pylist()
+        aliases_l = batch.column("aliases_json").to_pylist()
+        rtexts = batch.column("rerank_text").to_pylist()
+        sigs = batch.column("sig").to_pylist()
+        cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
+        for i in range(batch.num_rows):
+            cands = self.kb.candidates(
+                vecs[i], types[i], self.cfg.faiss_top_k,
+                ips=all_ips[:, i] if all_ips is not None else None)
+            aliases = json.loads(aliases_l[i])
+            # rank by retrieval order (enumerate(similar_entities, 1) —
+            # disambiguation.py:238-251: rank reflects search order, not
+            # final_score order)
+            for rank, (ki, bge) in enumerate(cands, 1):
+                row = self.kb.rows[ki]
+                s = comprehensive_score(
+                    names[i], aliases, types[i], rtexts[i],
+                    row["name"], row["aliases"], row["type"],
+                    row["rerank_text"], bge, self.cfg)
+                cols["sig"].append(sigs[i])
+                cols["name"].append(names[i])
+                cols["rank"].append(rank)
+                cols["candidate_id"].append(row["id"])
+                cols["candidate_name"].append(row["name"])
+                cols["bge_score"].append(s.bge_score)
+                cols["cross_encoder_score"].append(s.cross_encoder_score)
+                cols["fuzz_score"].append(s.fuzz_score)
+                cols["levenshtein_score"].append(s.levenshtein_score)
+                cols["final_score"].append(s.final_score)
+                cols["similarity_details"].append(similarity_details(
+                    names[i], types[i], row["name"], row["type"], s))
+        return pa.table(cols, schema=CANDIDATES_SCHEMA)

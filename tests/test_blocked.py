@@ -56,3 +56,18 @@ def test_salting_invariance(mention_inputs):
         mention_inputs, build_seed_entities(),
         salt_threshold=5).to_pandas().sort_values("sig").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, salted)
+
+
+def test_local_matches_distributed(mention_inputs):
+    """blocked_decisions_local (driver short-circuit) and the distributed
+    blocked_decisions share kernels and must agree exactly."""
+    from entitydisambiguation_ray.stages.candidates import (
+        blocked_decisions_local,
+    )
+
+    dist = (blocked_decisions(mention_inputs, build_seed_entities())
+            .to_pandas().sort_values("sig").reset_index(drop=True))
+    loc = (blocked_decisions_local(mention_inputs.to_pandas(),
+                                   build_seed_entities())
+           .sort_values("sig").reset_index(drop=True))
+    pd.testing.assert_frame_equal(dist, loc)
