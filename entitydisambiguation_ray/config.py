@@ -73,6 +73,30 @@ class EngineConfig:
             self.levenshtein_weight,
         )
 
+    @classmethod
+    def from_env(cls, env=None) -> "EngineConfig":
+        """Environment overrides, mirroring the reference's pydantic
+        settings-from-env behavior (config/settings.py:113-114): any field
+        can be overridden via ``ED_RAY_<FIELD_UPPER>``, e.g.
+        ``ED_RAY_HIGH_THRESHOLD=0.8 ED_RAY_RERANKER=none``."""
+        import os
+
+        env = os.environ if env is None else env
+        kwargs = {}
+        for f in cls.__dataclass_fields__.values():
+            raw = env.get(f"ED_RAY_{f.name.upper()}")
+            if raw is None:
+                continue
+            if f.type in ("float", float):
+                kwargs[f.name] = float(raw)
+            elif f.type in ("int", int):
+                kwargs[f.name] = int(raw)
+            elif f.type in ("bool", bool):
+                kwargs[f.name] = raw.lower() in ("1", "true", "yes")
+            else:
+                kwargs[f.name] = raw
+        return cls(**kwargs)
+
 
 DEFAULT_CONFIG = EngineConfig()
 

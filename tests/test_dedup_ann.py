@@ -106,3 +106,19 @@ def test_ann_brute_force_and_lsh(ray_session):
         e = set(exact[exact["query_idx"] == qi]["vec_id"])
         a = set(approx[approx["query_idx"] == qi]["vec_id"])
         assert len(e & a) >= 1
+
+
+def test_exact_dedup_idempotent(ray_session):
+    """Dedup idempotence property (SURVEY.md §5.4)."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.from_items([
+        {"doc_id": i, "text": f"t{i % 4}"} for i in range(20)
+    ])
+    once = exact_dedup(ds, "doc_id", "text").to_pandas().sort_values("doc_id")
+    twice = exact_dedup(
+        exact_dedup(ds, "doc_id", "text"), "doc_id", "text"
+    ).to_pandas().sort_values("doc_id")
+    assert once["doc_id"].tolist() == twice["doc_id"].tolist() == [0, 1, 2, 3]

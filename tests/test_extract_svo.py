@@ -66,3 +66,22 @@ def test_page_generation_deterministic():
     assert make_page(12)["html"] != a["html"]
     p = make_page(11, filler="FILLERTEXT")
     assert b"FILLERTEXT" in p["html"]
+
+
+def test_extracted_text_byte_identical_across_parallelism(ray_session):
+    """North-rule per-row invariant: byte-identical extracted text per url
+    regardless of block structure / parallelism (SURVEY.md §5.3)."""
+    from entitydisambiguation_ray.pipelines.kg import (
+        extract_stage,
+        synth_pages_dataset,
+    )
+
+    def run(nblocks):
+        ds = extract_stage(synth_pages_dataset(
+            80, seed=42, override_num_blocks=nblocks))
+        df = ds.select_columns(["url", "content"]).to_pandas()
+        return {u: c.encode("utf-8") for u, c in zip(df["url"], df["content"])}
+
+    a, b = run(3), run(13)
+    assert a.keys() == b.keys()
+    assert all(a[u] == b[u] for u in a)

@@ -129,3 +129,17 @@ def test_hash_encoder_similarity_structure():
     assert abs(float(base @ unrelated)) < 0.25
     # empty text → zero vector
     assert np.linalg.norm(enc.encode_one("")) == 0.0
+
+
+def test_config_from_env():
+    from entitydisambiguation_ray.config import EngineConfig
+
+    env = {"ED_RAY_HIGH_THRESHOLD": "0.8", "ED_RAY_RERANKER": "none",
+           "ED_RAY_FAISS_TOP_K": "5", "ED_RAY_ROUND2_DEDUP": "false"}
+    cfg = EngineConfig.from_env(env)
+    assert cfg.high_threshold == 0.8
+    assert cfg.reranker == "none"
+    assert cfg.faiss_top_k == 5
+    assert cfg.round2_dedup is False
+    # untouched fields keep defaults
+    assert cfg.low_threshold == 0.6
