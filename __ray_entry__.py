@@ -54,9 +54,11 @@ def _kg_outputs(sf_dir: str, which: str):
         synth_pages_dataset,
     )
 
+    from entitydisambiguation_ray.config import get_config
+
     n_pages = {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
     pages = synth_pages_dataset(n_pages, seed=42)
-    out = run_kg_pipeline(pages)
+    out = run_kg_pipeline(pages, cfg=get_config())
     if which == "edges":
         return out["edges"].sort(["src_id", "dst_id", "rel_type"])
     if which == "decisions":

@@ -8,8 +8,8 @@ JSON line::
      "queries": {...}, "sf": ..., "num_cpus": N, "pages": P,
      "pages_per_s": ..., "triples_per_s": ...}
 
-``--scaling`` runs the headline job twice in fresh processes
-(num_cpus=8 then num_cpus=32) on the same input and reports both
+``--scaling`` runs the headline job at N and 4N CPUs (default 4 and 16; see
+run_scaling docstring) in fresh processes on the same input and reports both
 throughputs plus scaling efficiency (the sandbox proxy for the north rule's
 N vs 4N cluster sizes — no real multi-node cluster exists here).
 """
@@ -36,10 +36,13 @@ def run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from entitydisambiguation_ray.config import get_config
     from entitydisambiguation_ray.pipelines.kg import (
         run_kg_pipeline,
         synth_pages_dataset,
     )
+
+    cfg = get_config()  # ED_RAY_* env overrides apply here
 
     n_pages = int(os.environ.get(
         "GRAFT_BENCH_PAGES",
@@ -53,12 +56,12 @@ def run_bench() -> dict:
     # pool is warmed and the rest pay cold import inside the timed region.
     run_kg_pipeline(synth_pages_dataset(
         max(2000, num_cpus * 100), seed=1,
-        override_num_blocks=num_cpus * 4))
+        override_num_blocks=num_cpus * 4), cfg=cfg)
 
     # ---- headline: KG construction over n_pages synthetic pages --------
     t0 = time.perf_counter()
     pages = synth_pages_dataset(n_pages, seed=42)
-    out = run_kg_pipeline(pages, concurrency=(2, max(2, num_cpus // 2)))
+    out = run_kg_pipeline(pages, cfg=cfg)
     n_edges = out["edges"].count()
     n_triples = out["triples"].count()
     headline = time.perf_counter() - t0

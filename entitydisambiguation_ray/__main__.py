@@ -48,11 +48,15 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from entitydisambiguation_ray.config import EngineConfig
+    import dataclasses
+
+    from entitydisambiguation_ray.config import get_config
     from entitydisambiguation_ray.pipelines.checkpointed import run_checkpointed_kg
     from entitydisambiguation_ray.state.checkpoint import partition_files
 
-    cfg = EngineConfig(candidate_gen="blocked" if args.blocked else "global")
+    cfg = get_config()  # ED_RAY_* env overrides apply
+    if args.blocked:
+        cfg = dataclasses.replace(cfg, candidate_gen="blocked")
     t0 = time.perf_counter()
     if args.input_parquet:
         raise NotImplementedError(

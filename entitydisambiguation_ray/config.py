@@ -100,6 +100,15 @@ class EngineConfig:
 
 DEFAULT_CONFIG = EngineConfig()
 
+
+def get_config() -> EngineConfig:
+    """Resolve the effective config at an entry point: defaults + any
+    ``ED_RAY_*`` environment overrides (the reference's settings-from-env
+    behavior, config/settings.py:113-114).  Library code keeps taking an
+    explicit ``cfg`` argument; only entry points (bench, CLI,
+    __ray_entry__) call this."""
+    return EngineConfig.from_env()
+
 # Reference id-prefix map, neo4j_database.py:475-485 (Chinese type → prefix).
 TYPE_PREFIX: dict[str, str] = {
     "疾病": "disease",

@@ -69,6 +69,8 @@ def brute_force_topk(
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
         out.append(g)
+    if not out:  # empty corpus (e.g. LSH bucket with no members)
+        return pd.DataFrame(columns=["query_idx", id_col, "cosine", "rank"])
     return pd.concat(out, ignore_index=True)
 
 

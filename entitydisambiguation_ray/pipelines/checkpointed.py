@@ -89,7 +89,7 @@ def _downstream(triples: rd.Dataset, cfg: EngineConfig, concurrency) -> dict:
     from ..stages.partition import dedup_first
     from .kg import decisions_stage, mentions_stage, unique_mentions_stage
 
-    mentions = mentions_stage(triples, cfg, concurrency)
+    mentions = mentions_stage(triples, cfg)
     uniq = unique_mentions_stage(mentions)
     decisions = decisions_stage(uniq, cfg, concurrency)
     dec_df = decisions.to_pandas()

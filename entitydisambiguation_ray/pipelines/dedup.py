@@ -34,7 +34,7 @@ def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return dedup_first(hashed, "fp_md5", nparts=32,
-                       sort_by=[id_col]).drop_columns(["fp_md5", "fp_roll"])
+                       sort_by=[id_col]).drop_columns(["fp_md5"])
 
 
 def minhash_lsh_pairs(

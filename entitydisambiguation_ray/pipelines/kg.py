@@ -76,8 +76,8 @@ def triples_stage(extracted: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     )
 
 
-def mentions_stage(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
-                   concurrency: int | tuple | None = None) -> rd.Dataset:
+def mentions_stage(triples: rd.Dataset,
+                   cfg: EngineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Stateless tasks over warm workers; the dictionary is a process-global
     built once per worker (stages/mentions.get_builder rationale)."""
     return triples.map_batches(
@@ -342,7 +342,11 @@ def round2_canonicalize(dec_df: pd.DataFrame,
 
 def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
                     concurrency: int | tuple = (1, 4)) -> dict:
-    """Full pipeline.  Returns dict of result Datasets / frames:
+    """Full pipeline.
+
+    ``concurrency`` only sizes ACTOR-POOL stages (``decisions_stage(...,
+    use_actors=True)`` for model-backed encoders); the default stateless-task
+    stages scale with the cluster's CPUs and ignore it.  Returns dict of result Datasets / frames:
     ``triples`` (url-level provenance edges), ``edges`` (deduped canonical
     triples), ``decisions`` (unique-mention audit log = the reference's
     DisambiguationHistory, SURVEY.md S10), ``entities`` (canonical entity
@@ -356,7 +360,7 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     # (state/checkpoint.py) writes triples to partitioned parquet and reads
     # them back, which also makes this the resume point.
     triples = triples.materialize()
-    mentions = mentions_stage(triples, cfg, concurrency)
+    mentions = mentions_stage(triples, cfg)
     uniq = unique_mentions_stage(mentions)
     if cfg.candidate_gen == "blocked":
         from ..stages.candidates import blocked_decisions
@@ -396,13 +400,23 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     # entities table: seed KB ∪ created entities (dedup by canonical_id,
     # deterministic first-by-sig — the reference's MERGE-upsert last-wins
     # semantics collapse to first-wins under a stable sort, SURVEY.md S6)
-    created = dec_df[dec_df["decision"] != "merge"]
-    # representative row per canonical id = earliest corpus occurrence
-    # (ties broken by sig) — matches the online "first create defines the
-    # entity" and is stable across parallelism levels
-    created = created.sort_values(["canonical_id", "first_occ", "sig"],
-                                  kind="mergesort")
-    created = created.drop_duplicates("canonical_id")
+    created = dec_df[dec_df["decision"] != "merge"].copy()
+    # representative row per canonical id: prefer the OWNER mention (the one
+    # whose name/type actually derive the id — M12 contract id ==
+    # generate_entity_id(name, type); round-2 remapping can attach other
+    # mentions' rows to this id), then earliest corpus occurrence, then sig —
+    # deterministic and parallelism-stable
+    from ..functions.hashing import generate_entity_id as _gen_id
+
+    created["_not_owner"] = [
+        cid != _gen_id(n, t)
+        for cid, n, t in zip(created["canonical_id"], created["name"],
+                             created["type"])
+    ]
+    created = created.sort_values(
+        ["canonical_id", "_not_owner", "first_occ", "sig"], kind="mergesort")
+    created = created.drop_duplicates("canonical_id").drop(
+        columns=["_not_owner"])
     seed_df = pd.DataFrame(seed_entities_table())
     created_df = pd.DataFrame(
         {

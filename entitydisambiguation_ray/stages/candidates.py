@@ -134,17 +134,7 @@ def blocked_decisions(
                                 zero_copy_batch=True)
 
     # KB side: block → entity rows (dedup by id within block)
-    kb_by_block: dict[str, dict[str, dict]] = {}
-    for e in entities:
-        row = e if isinstance(e, dict) else {
-            "id": e.id, "name": e.name, "type": e.type,
-            "aliases": list(e.aliases), "definition": e.definition,
-            "attributes": e.attributes, "source": e.source,
-            "create_time": e.create_time,
-        }
-        for b in entity_index_blocks(row["name"], row["aliases"], row["type"]):
-            kb_by_block.setdefault(b, {})[row["id"]] = row
-    kb_lists = {b: list(d.values()) for b, d in kb_by_block.items()}
+    kb_lists = _kb_lists(entities)
 
     import ray
 

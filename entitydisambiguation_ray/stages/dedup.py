@@ -70,21 +70,21 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.Generator(np.random.PCG64(seed))
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        # a < 2^29 and 32-bit base hashes keep a*x + b < 2^62: the product
+        # stays inside uint64, so (a*x + b) mod p is computed EXACTLY and
+        # the family is genuinely universal over x < 2^32 (a full-width a
+        # would silently wrap mod 2^64 before the mod-p reduction and void
+        # the LSH collision-probability math)
+        self.a = rng.integers(1, 1 << 29, num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
     def signature(self, shingles: set[bytes]) -> np.ndarray:
         if not shingles:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # 64-bit base hash from two salted crc32s (C-speed; ~10× faster
-        # than sha1 per shingle, collision rate irrelevant at minhash's
-        # own estimation error)
-        base = np.array(
-            [(zlib.crc32(s) << 32) | zlib.crc32(s, 0x9E3779B9)
-             for s in shingles],
-            dtype=np.uint64,
-        )
+        # 32-bit crc base hash (C-speed; collision rate irrelevant at
+        # minhash's own estimation error)
+        base = np.array([zlib.crc32(s) for s in shingles], dtype=np.uint64)
         # (n_shingles, num_perm) universal hashing mod Mersenne prime
         prods = (base[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return prods.min(axis=0)

@@ -66,10 +66,39 @@ DECISION_SCHEMA = pa.schema(
 )
 
 
+def _parse_aliases(raw) -> list[str]:
+    """M11 — the reference's defensive record→entity alias parse
+    (neo4j_database.py:490-534): aliases may arrive as a native list, a
+    JSON-encoded string (possibly ``'[]'``), a bare non-JSON string (treated
+    as a single alias), or anything else (→ [])."""
+    if raw is None:
+        return []
+    if isinstance(raw, (list, tuple)):
+        return [str(x) for x in raw]
+    if isinstance(raw, str):
+        s = raw.strip()
+        if not s:
+            return []
+        try:
+            parsed = json.loads(s)
+        except (ValueError, TypeError):
+            return [s]  # bare string → single alias
+        if isinstance(parsed, list):
+            return [str(x) for x in parsed]
+        return [s]
+    try:  # numpy arrays etc.
+        return [str(x) for x in list(raw)]
+    except TypeError:
+        return []
+
+
 class KnowledgeBase:
     """In-memory KB: entity rows + normalized-IP embedding matrix."""
 
-    def __init__(self, entities=None, encoder=None, cfg: EngineConfig = DEFAULT_CONFIG):
+    def __init__(self, entities=None, encoder=None,
+                 cfg: EngineConfig = DEFAULT_CONFIG, matrix=None):
+        """``matrix`` — optional precomputed (n, dim) embedding matrix
+        (e.g. from ``state.kbstore.load_kb``); skips re-encoding the KB."""
         if entities is None:
             entities = build_seed_entities()
         self.cfg = cfg
@@ -79,8 +108,7 @@ class KnowledgeBase:
         for e in entities:
             if isinstance(e, dict):
                 row = dict(e)
-                if isinstance(row.get("aliases"), str):
-                    row["aliases"] = json.loads(row["aliases"])
+                row["aliases"] = _parse_aliases(row.get("aliases"))
             else:
                 row = {
                     "id": e.id, "name": e.name, "type": e.type,
@@ -90,10 +118,18 @@ class KnowledgeBase:
                 }
             row["rerank_text"] = rerank_text(row["name"], row["aliases"],
                                              row.get("definition"))
-            texts.append(embed_text(row["name"], row["aliases"],
-                                    row.get("definition"), row.get("attributes")))
+            if matrix is None:
+                texts.append(embed_text(row["name"], row["aliases"],
+                                        row.get("definition"),
+                                        row.get("attributes")))
             self.rows.append(row)
-        self.matrix = self.encoder.encode(texts)  # (n, dim) float32
+        if matrix is not None:
+            if len(matrix) != len(self.rows):
+                raise ValueError(
+                    f"matrix rows {len(matrix)} != entities {len(self.rows)}")
+            self.matrix = np.asarray(matrix, dtype=np.float32)
+        else:
+            self.matrix = self.encoder.encode(texts)  # (n, dim) float32
         self.norms = np.linalg.norm(self.matrix, axis=1) if len(self.rows) else np.zeros(0)
         self.types = np.array([r["type"] or "" for r in self.rows], dtype=object)
         self.by_type: dict[str, np.ndarray] = {}

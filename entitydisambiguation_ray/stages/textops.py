@@ -73,23 +73,29 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pred)
 
 
-def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Adds ``fp_md5`` (hex content hash; the exact-dedup key) and
-    ``fp_roll`` (64-bit polynomial rolling hash, base 1000003 mod 2^61-1 —
-    an order-sensitive document sketch)."""
-    texts = batch.column(text_col)
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      include_roll: bool = False) -> pa.Table:
+    """Adds ``fp_md5`` (hex content hash; the exact-dedup key) and — only
+    when ``include_roll=True`` — ``fp_roll`` (64-bit polynomial rolling
+    hash, base 1000003 mod 2^61-1, an order-sensitive document sketch).
+    The rolling hash is per-byte interpreted Python, so it is opt-in:
+    consumers that only need the dedup key (exact_dedup, the fingerprint
+    query) must not pay O(corpus bytes) for a column they drop."""
+    texts = batch.column(text_col).to_pylist()
     md5s = []
     rolls = []
     MOD = (1 << 61) - 1
     BASE = 1000003
-    for t in texts:
-        s = t.as_py() or ""
-        b = s.encode("utf-8")
+    for s in texts:
+        b = (s or "").encode("utf-8")
         md5s.append(hashlib.md5(b).hexdigest())
-        h = 0
-        for byte in b:
-            h = (h * BASE + byte) % MOD
-        rolls.append(h)
+        if include_roll:
+            h = 0
+            for byte in b:
+                h = (h * BASE + byte) % MOD
+            rolls.append(h)
     batch = batch.append_column("fp_md5", pa.array(md5s, type=pa.string()))
-    batch = batch.append_column("fp_roll", pa.array(rolls, type=pa.uint64()))
+    if include_roll:
+        batch = batch.append_column("fp_roll",
+                                    pa.array(rolls, type=pa.uint64()))
     return batch

@@ -109,13 +109,20 @@ def run_partitioned_stage(
     for p in range(nparts):
         pdir = store.part_dir(stage, p)
         if store.is_committed(stage, p):
+            committed = store.read_manifest(stage, p)
+            if committed.input_fingerprint != input_fingerprint:
+                raise ValueError(
+                    f"checkpoint dir {store.run_dir!r} stage {stage!r} "
+                    f"part {p} was committed for a different input "
+                    f"({committed.input_fingerprint} != {input_fingerprint}); "
+                    "resuming would silently mix corpora — use a fresh "
+                    "run dir (or delete the stale checkpoint)")
             dirs.append(pdir)
             continue
         t0 = time.perf_counter()
         ds = make_partition_ds(p)
         os.makedirs(pdir, exist_ok=True)
         ds.write_parquet(pdir)
-        rows = sum(1 for _ in ())  # row count from manifest files below
         files = sorted(os.listdir(pdir))
         import pyarrow.parquet as pq
 

@@ -68,12 +68,10 @@ def save_kb(kb: KnowledgeBase, prefix: str) -> None:
 def load_kb(prefix: str, cfg: EngineConfig = DEFAULT_CONFIG) -> KnowledgeBase:
     with open(prefix + ".rows.json") as f:
         rows = json.load(f)
-    kb = KnowledgeBase(entities=rows, cfg=cfg)
-    # trust the persisted matrix (identical by determinism, but loading
-    # avoids re-encoding large KBs)
-    kb.matrix = np.load(prefix + ".npz")["matrix"]
-    kb.norms = np.linalg.norm(kb.matrix, axis=1) if kb.matrix.size else np.zeros(0)
-    return kb
+    matrix = np.load(prefix + ".npz")["matrix"]
+    # pass the persisted matrix into the constructor so the KB is NOT
+    # re-encoded on load (the point of persisting the index)
+    return KnowledgeBase(entities=rows, cfg=cfg, matrix=matrix)
 
 
 def kb_stats(kb: KnowledgeBase) -> dict:

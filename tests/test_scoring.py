@@ -143,3 +143,17 @@ def test_config_from_env():
     assert cfg.round2_dedup is False
     # untouched fields keep defaults
     assert cfg.low_threshold == 0.6
+
+
+def test_m11_defensive_alias_parse():
+    from entitydisambiguation_ray.stages.disambiguate import _parse_aliases
+
+    assert _parse_aliases(None) == []
+    assert _parse_aliases([]) == []
+    assert _parse_aliases(["a", "b"]) == ["a", "b"]
+    assert _parse_aliases("[]") == []
+    assert _parse_aliases('["x", "y"]') == ["x", "y"]
+    assert _parse_aliases("bare alias") == ["bare alias"]  # non-JSON string
+    assert _parse_aliases('{"not": "a list"}') == ['{"not": "a list"}']
+    assert _parse_aliases(42) == []
+    assert _parse_aliases("") == []

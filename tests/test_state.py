@@ -105,3 +105,20 @@ def test_run_partitioned_stage_resumes(ray_session, tmp_path):
 
     total = rd.read_parquet(partition_files(dirs)).count()
     assert total == 30
+
+
+def test_fingerprint_mismatch_refuses_resume(ray_session, tmp_path):
+    """Resuming a run dir with changed input params must fail loudly, not
+    silently reuse stale partitions."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.state.checkpoint import run_partitioned_stage
+
+    store = CheckpointStore(str(tmp_path / "runfp"))
+
+    def make(p):
+        return rd.range(5)
+
+    run_partitioned_stage(store, "s", 2, make, "fp-A")
+    with pytest.raises(ValueError, match="different input"):
+        run_partitioned_stage(store, "s", 2, make, "fp-B")

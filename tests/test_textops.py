@@ -43,13 +43,16 @@ def test_langid_heuristic():
 
 
 def test_fingerprint_md5_and_rolling():
-    out = fingerprint_batch(_tbl(["hello", "hello", "world"]))
+    out = fingerprint_batch(_tbl(["hello", "hello", "world"]),
+                            include_roll=True)
     md5s = out.column("fp_md5").to_pylist()
     assert md5s[0] == md5s[1] == hashlib.md5(b"hello").hexdigest()
     assert md5s[2] != md5s[0]
     rolls = out.column("fp_roll").to_pylist()
     assert rolls[0] == rolls[1] != rolls[2]
     # order sensitivity (unlike a bag hash)
-    out2 = fingerprint_batch(_tbl(["ab", "ba"]))
+    out2 = fingerprint_batch(_tbl(["ab", "ba"]), include_roll=True)
     r = out2.column("fp_roll").to_pylist()
     assert r[0] != r[1]
+    # default: no rolling-hash column (opt-in, see docstring)
+    assert "fp_roll" not in fingerprint_batch(_tbl(["x"])).column_names
