@@ -110,3 +110,35 @@ def lsh_topk(
 
     filtered = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_topk(filtered, id_col, vec_col, qm, k=k)
+
+
+def ivf_topk(
+    ds: rd.Dataset, id_col: str, vec_col: str,
+    queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+    n_probe: int = 4, seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-style approximate top-k: vectors are bucketed by nearest coarse
+    centroid; each query scans only its ``n_probe`` nearest centroid
+    buckets (the inverted-file structure of Jégou et al.'s IVF indexes,
+    with deterministic seeded pseudo-centroids instead of trained k-means —
+    no training pass, cluster-stable).
+
+    Two passes, no shuffle: (1) tag + filter to probed buckets,
+    (2) brute-force within the ~n_probe/n_centroids fraction retained."""
+    qm = np.asarray(queries, dtype=np.float64)
+    dim = qm.shape[1]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+
+    qn = _normalize(qm)
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    probed = set(probe.ravel().tolist())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        cid = np.argmax(mat @ centroids.T, axis=1)
+        mask = pa.array(np.isin(cid, list(probed)))
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(filtered, id_col, vec_col, qm, k=k)

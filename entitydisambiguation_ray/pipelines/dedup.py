@@ -27,8 +27,8 @@ from ..stages.textops import fingerprint_batch
 
 
 def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
-    """Exact near-... exact duplicate removal: one shuffle on the md5
-    content hash; representative = smallest id (deterministic)."""
+    """Exact duplicate removal: one shuffle on the md5 content hash;
+    representative = smallest id (deterministic)."""
     hashed = ds.map_batches(
         functools.partial(fingerprint_batch, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -180,3 +180,26 @@ def embedding_neardup_pairs(
         })
 
     return ds.groupby(block_col).map_groups(group_pairs, batch_format="pandas")
+
+
+def embedding_neardup_lsh(
+    ds: rd.Dataset, id_col: str, vec_col: str,
+    *, threshold: float = 0.35, n_planes: int = 6,
+) -> rd.Dataset:
+    """Embedding near-dup without a label column: block by random-hyperplane
+    LSH bucket (cos-similar vectors land together with high probability),
+    then the same within-block matmul.  Recall vs the label-blocked exact
+    variant is measured in pytest; multi-probe (several plane sets) is the
+    recall knob at scale."""
+    from .ann import HyperplaneLSH, _as_matrix, _normalize
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        lsh = HyperplaneLSH(mat.shape[1], n_planes=n_planes)
+        b = lsh.bucket(mat)
+        return batch.append_column("lsh_bucket",
+                                   pa.array(b.astype("int64"), pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return embedding_neardup_pairs(tagged, id_col, vec_col, "lsh_bucket",
+                                   threshold=threshold)

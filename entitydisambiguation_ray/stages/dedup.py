@@ -7,13 +7,16 @@ shingle→minhash→band→bucket-groupby pattern):
 - **exact**: content-hash column in a vectorized ``map_batches`` →
   ``groupby(hash).map_groups(first)`` (deterministic representative =
   smallest id).
-- **minhash-lsh**: per-batch shingling + k minhashes → explode to
-  (band_id, band_hash, doc_id) rows → ``groupby(band)`` → candidate pairs →
-  exact-Jaccard verification → near-dup pairs.  The band groupby is the only
-  shuffle and moves k/band-width small rows per doc, never the text.
-- **simhash**: 64-bit simhash per doc; near-dup candidates = equal value in
-  any of 4 16-bit bands (Hamming ≤ 3 guarantee by pigeonhole); verified by
-  Hamming distance.
+- **minhash-lsh** (Broder 1997, "On the resemblance and containment of
+  documents"; banding per Leskovec et al., MMDS ch.3): per-batch shingling +
+  k minhashes → explode to (band_id, band_hash, doc_id) rows →
+  ``groupby(band)`` → candidate pairs → exact-Jaccard verification →
+  near-dup pairs.  The band groupby is the only shuffle and moves
+  k/band-width small rows per doc, never the text.
+- **simhash** (Charikar 2002, "Similarity estimation techniques from
+  rounding algorithms"): 64-bit simhash per doc; near-dup candidates =
+  equal value in any of 4 16-bit bands (Hamming ≤ 3 guarantee by
+  pigeonhole); verified by Hamming distance.
 - **ngram-jaccard**: the verification kernel, exposed standalone.
 - **embedding near-dup**: cosine > τ pairs within a blocking key (label /
   LSH bucket), numpy matmul per group.

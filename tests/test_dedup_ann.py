@@ -122,3 +122,41 @@ def test_exact_dedup_idempotent(ray_session):
         exact_dedup(ds, "doc_id", "text"), "doc_id", "text"
     ).to_pandas().sort_values("doc_id")
     assert once["doc_id"].tolist() == twice["doc_id"].tolist() == [0, 1, 2, 3]
+
+
+def test_ivf_topk(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    mat = rng.standard_normal((400, 32))
+    ds = rd.from_items([{"vec_id": i, "embedding": mat[i].tolist()}
+                        for i in range(400)])
+    q = mat[:2]
+    exact = brute_force_topk(ds, "vec_id", "embedding", q, k=5)
+    approx = ivf_topk(ds, "vec_id", "embedding", q, k=5,
+                      n_centroids=8, n_probe=4)
+    # query's own vector survives probing (its bucket is probed first)
+    a1 = approx[approx["rank"] == 1]
+    assert a1["vec_id"].tolist() == [0, 1]
+    for qi in (0, 1):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        assert len(e & a) >= 2  # half-probe recall on random data
+
+
+def test_embedding_neardup_lsh_finds_planted_pair(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import embedding_neardup_lsh
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    mat = rng.standard_normal((100, 32))
+    mat[7] = mat[3] + 0.01 * rng.standard_normal(32)  # planted near-dup
+    ds = rd.from_items([{"vec_id": i, "embedding": mat[i].tolist()}
+                        for i in range(100)])
+    out = embedding_neardup_lsh(ds, "vec_id", "embedding",
+                                threshold=0.95).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (3, 7) in pairs

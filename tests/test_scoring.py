@@ -157,3 +157,12 @@ def test_m11_defensive_alias_parse():
     assert _parse_aliases('{"not": "a list"}') == ['{"not": "a list"}']
     assert _parse_aliases(42) == []
     assert _parse_aliases("") == []
+
+
+def test_bge_encoder_gated_on_missing_dependency():
+    from entitydisambiguation_ray.functions.encoder import make_encoder
+
+    with pytest.raises((RuntimeError, ValueError)):
+        make_encoder("bge")  # FlagEmbedding absent in this environment
+    with pytest.raises(ValueError):
+        make_encoder("nonsense")
