@@ -127,6 +127,27 @@ def _q_kg_candidates(sf_dir: str):
     return out.sort(["sig", "rank"])
 
 
+def _q_kg_neighbors(sf_dir: str):
+    """S8 — neighbor reader (neo4j_database.py:437-471): outgoing edges of
+    the hot-key entities joined to the entity table, optional rel_type
+    filter semantics preserved via the rel_type column in the output."""
+    _quiet()
+    import pandas as pd
+
+    edges = _kg_outputs(sf_dir, "edges").to_pandas()
+    ents = _kg_outputs(sf_dir, "entities")
+    # hot seed entities: the two highest-degree sources
+    deg = edges.groupby("src_id").size().sort_values(ascending=False)
+    hot = list(deg.index[:2])
+    out = edges[edges["src_id"].isin(hot)].merge(
+        ents[["id", "name", "type"]], left_on="dst_id", right_on="id")
+    out = out[["src_id", "rel_type", "dst_id", "name", "type"]]
+    out = out.rename(columns={"name": "neighbor_name",
+                              "type": "neighbor_type"})
+    return out.sort_values(["src_id", "rel_type", "dst_id"]).reset_index(
+        drop=True)
+
+
 def _q_kg_pr_vs_oracle(sf_dir: str):
     """Self-certifying conformance metric: precision/recall of the batch
     pipeline's canonical triples against the sequential online oracle
@@ -410,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_candidates": _q_kg_candidates,
         "kg_decision_stats": _q_kg_decision_stats,
         "kg_pr_vs_oracle": _q_kg_pr_vs_oracle,
+        "kg_neighbors": _q_kg_neighbors,
         "extracted_text": _q_extracted_text,
     }
 
