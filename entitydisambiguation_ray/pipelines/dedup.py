@@ -25,6 +25,8 @@ from ..stages.dedup import (
 from ..stages.partition import dedup_first, partitioned_groupby
 from ..stages.textops import fingerprint_batch
 
+_VERIFY_CACHE: dict[str, dict] = {}
+
 
 def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
     """Exact duplicate removal: one shuffle on the md5 content hash;
@@ -86,30 +88,33 @@ def minhash_lsh_pairs(
 
     candidates = dedup_first(
         candidates.map_batches(pair_key, batch_format="pyarrow"),
-        "pair_key", nparts=32,
+        "pair_key", nparts=8,
     ).drop_columns(["pair_key"])
 
-    texts = {r[id_col]: r[text_col]
-             for r in ds.select_columns([id_col, text_col]).iter_rows()}
+    tdf = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(tdf[id_col], tdf[text_col]))
     import ray
     texts_ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def verify(batch: pa.Table) -> pa.Table:
+        # stateless task over warm workers; broadcast text map fetched once
+        # per worker process (same pattern as kg.rewrite_edges_batch)
+        key = texts_ref.hex()
+        tmap = _VERIFY_CACHE.get(key)
+        if tmap is None:
+            _VERIFY_CACHE.clear()
+            tmap = ray.get(texts_ref)
+            _VERIFY_CACHE[key] = tmap
+        ja = [
+            ngram_jaccard(tmap.get(a, ""), tmap.get(b, ""))
+            for a, b in zip(batch.column("id_a").to_pylist(),
+                            batch.column("id_b").to_pylist())
+        ]
+        batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("jaccard"), threshold))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja = [
-                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""))
-                for a, b in zip(batch.column("id_a").to_pylist(),
-                                batch.column("id_b").to_pylist())
-            ]
-            batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-            return batch.filter(
-                pa.compute.greater_equal(batch.column("jaccard"), threshold))
-
-    return candidates.map_batches(Verify, batch_format="pyarrow",
-                                  concurrency=(1, 4))
+    return candidates.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
@@ -121,8 +126,8 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # consumed 4× below (one pass per band); small sketch rows
 
-    sims = {r["doc_id"]: r["simhash"] for r in
-            sh.select_columns(["doc_id", "simhash"]).iter_rows()}
+    sdf = sh.select_columns(["doc_id", "simhash"]).to_pandas()
+    sims = dict(zip(sdf["doc_id"], sdf["simhash"]))
 
     def band_pairs(df: pd.DataFrame, band_col: str) -> pd.DataFrame:
         rows = []

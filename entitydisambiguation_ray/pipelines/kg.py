@@ -9,15 +9,17 @@ Dataflow (SURVEY.md §3.2 → Ray mapping):
     read/synthesize pages                (streamed blocks)
       map_batches(extract_text_batch)    stateless tasks, html dropped early
       map_batches(triples_batch)         stateless tasks
-      map_batches(MentionBuilder)        actor pool (dictionary state)
+      map_batches(build_mentions_batch)  stateless tasks, process-global dict
       map_batches(unique_mentions_partial)  per-batch combiner
-      groupby(sig).map_groups(first)     THE wide shuffle — over unique sigs
-                                         only, already skew-collapsed because
+      coarse hash-partitioned dedup      THE wide shuffle — over unique sigs
+        (stages/partition.py)            only, already skew-collapsed because
                                          hot mentions share one sig
-      map_batches(Disambiguator)         actor pool (KB + encoder state)
+      map_batches(disambiguate_batch)    stateless tasks, process-global KB
+                                         (actor pool when encoder="bge")
+      round2_canonicalize                created-vs-created union-find
       [broadcast canonical map]          sig → canonical_id (small side)
-      map_batches(edge rewrite)          stateless tasks
-      groupby(edge_key).map_groups(first)  exact edge dedup
+      map_batches(rewrite_edges_batch)   stateless tasks
+      coarse hash-partitioned edge dedup exact (src, dst, rel)
       write_parquet                      partitioned sinks
 
 Nothing materializes the full input: pages stream through extraction;
