@@ -50,6 +50,12 @@ def entry() -> Any:
 _KG_CACHE: dict[str, dict] = {}
 
 
+def _kg_n_pages(sf_dir: str) -> int:
+    """One shared corpus-size rule so every kg query (and the P/R gate's
+    oracle side) uses the SAME corpus."""
+    return {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
+
+
 def _kg_outputs(sf_dir: str, which: str):
     _quiet()
     from entitydisambiguation_ray.pipelines.kg import (
@@ -59,7 +65,7 @@ def _kg_outputs(sf_dir: str, which: str):
 
     from entitydisambiguation_ray.config import get_config
 
-    n_pages = {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    n_pages = _kg_n_pages(sf_dir)
     # several queries() entries view the same pipeline run; memoize per
     # process so the driver's per-query calls don't re-run it
     out = _KG_CACHE.get(sf_dir)
@@ -137,8 +143,10 @@ def _q_kg_neighbors(sf_dir: str):
     edges = _kg_outputs(sf_dir, "edges").to_pandas()
     ents = _kg_outputs(sf_dir, "entities")
     # hot seed entities: the two highest-degree sources
-    deg = edges.groupby("src_id").size().sort_values(ascending=False)
-    hot = list(deg.index[:2])
+    deg = edges.groupby("src_id").size().reset_index(name="n")
+    deg = deg.sort_values(["n", "src_id"], ascending=[False, True],
+                          kind="mergesort")  # stable tie-break by id
+    hot = deg["src_id"].head(2).tolist()
     out = edges[edges["src_id"].isin(hot)].merge(
         ents[["id", "name", "type"]], left_on="dst_id", right_on="id")
     out = out[["src_id", "rel_type", "dst_id", "name", "type"]]
@@ -156,6 +164,7 @@ def _q_kg_pr_vs_oracle(sf_dir: str):
     _quiet()
     import pandas as pd
 
+    from entitydisambiguation_ray.config import get_config
     from entitydisambiguation_ray.pipelines.oracle import (
         OnlineOracle,
         precision_recall,
@@ -164,8 +173,10 @@ def _q_kg_pr_vs_oracle(sf_dir: str):
 
     edges = _kg_outputs(sf_dir, "edges").to_pandas()
     pred = set(zip(edges["src_id"], edges["rel_type"], edges["dst_id"]))
-    n_pages = {"sf0.001": 200}.get(os.path.basename(sf_dir.rstrip("/")), 400)
-    gold = set(OnlineOracle().run(make_page(i) for i in range(n_pages)))
+    n_pages = _kg_n_pages(sf_dir)
+    # the oracle must run under the SAME effective config as the pipeline
+    gold = set(OnlineOracle(cfg=get_config()).run(
+        make_page(i) for i in range(n_pages)))
     p, r = precision_recall(pred, gold)
     return pd.DataFrame([{
         "n_pages": n_pages, "pred_triples": len(pred),

@@ -40,9 +40,15 @@ def main(argv=None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
-                 num_cpus=args.num_cpus, include_dashboard=False,
-                 logging_level="ERROR", log_to_driver=False)
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR",
+                      log_to_driver=False)
+        if address == "local":
+            # num_cpus is only legal when STARTING a local cluster; when
+            # connecting to an existing one (ray job submit) the cluster
+            # defines its resources
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=address, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -32,8 +32,13 @@ def run_checkpointed_kg(
     """Resumable end-to-end run; returns {"edges_dir", "decisions_dir",
     "triples_dirs", "store"}."""
     store = CheckpointStore(run_dir)
+    # the fingerprint covers EVERYTHING that shapes the outputs: input
+    # parameters AND the engine config — resuming under a different config
+    # must refuse, not silently reuse stale partitions
+    cfg_digest = hashlib.sha1(repr(cfg).encode()).hexdigest()[:8]
     fingerprint = hashlib.sha1(
-        f"synth:{n_pages}:{seed}:{nparts}".encode()).hexdigest()[:16]
+        f"synth:{n_pages}:{seed}:{nparts}:{cfg_digest}".encode()
+    ).hexdigest()[:16]
     per = (n_pages + nparts - 1) // nparts
 
     def make_triples_partition(p: int) -> rd.Dataset:

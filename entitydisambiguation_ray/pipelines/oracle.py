@@ -65,23 +65,16 @@ class OnlineOracle:
         }
 
     def _kb_add(self, m: dict, entity_id: str):
-        row = {
+        # shared incremental-add bookkeeping (state/kbstore.kb_add —
+        # vstack matrix, norms/types append, by_type index); one copy of
+        # the KB-mutation invariants for oracle and engine alike
+        from ..state.kbstore import kb_add
+
+        kb_add(self.kb, {
             "id": entity_id, "name": m["name"], "type": m["type"],
             "aliases": list(m["aliases"]), "definition": m["definition"],
             "attributes": m["attributes"], "source": "oracle-created",
-            "create_time": None, "rerank_text": m["rerank_text"],
-        }
-        vec = self.kb.encoder.encode([m["embed_text"]])
-        self.kb.rows.append(row)
-        self.kb.matrix = np.vstack([self.kb.matrix, vec])
-        self.kb.norms = np.append(self.kb.norms, np.linalg.norm(vec))
-        self.kb.types = np.append(self.kb.types, m["type"] or "")
-        if m["type"]:
-            idx = len(self.kb.rows) - 1
-            prev = self.kb.by_type.get(m["type"])
-            self.kb.by_type[m["type"]] = (
-                np.append(prev, idx) if prev is not None
-                else np.array([idx], dtype=np.int64))
+        })
 
     def decide(self, surface: str) -> str:
         """Process one mention occurrence online; returns canonical id."""

@@ -268,22 +268,26 @@ class Disambiguator:
         return pa.table(cols, schema=DECISION_SCHEMA)
 
 
-_DISAMBIGUATORS: dict[int, "Disambiguator"] = {}
+_DISAMBIGUATORS: dict[EngineConfig, "Disambiguator"] = {}
 
 
 def get_disambiguator(cfg: EngineConfig = DEFAULT_CONFIG) -> Disambiguator:
-    """Process-global instance (one per worker, keyed by config identity).
+    """Process-global instance (one per worker, keyed by config VALUE —
+    EngineConfig is a frozen, hashable dataclass, so equal configs
+    deserialized by different tasks share one instance and different
+    configs can never collide the way an ``id()`` key could after GC).
 
     The seed KB + encoder cache are cheap to build (~100 ms) and
     deterministic, so stateless tasks over warm workers beat a dedicated
     actor pool (fresh process + import per actor).  A model-backed encoder
     (encoder="bge") IS actor-pool territory — use ``decisions_stage(...,
     use_actors=True)`` then."""
-    key = id(cfg) if cfg is not DEFAULT_CONFIG else 0
-    d = _DISAMBIGUATORS.get(key)
+    d = _DISAMBIGUATORS.get(cfg)
     if d is None:
+        if len(_DISAMBIGUATORS) > 8:  # bound worker memory across configs
+            _DISAMBIGUATORS.clear()
         d = Disambiguator(cfg=cfg)
-        _DISAMBIGUATORS[key] = d
+        _DISAMBIGUATORS[cfg] = d
     return d
 
 

@@ -28,8 +28,12 @@ from ..stages.disambiguate import KnowledgeBase
 
 def kb_add(kb: KnowledgeBase, row: dict) -> None:
     """A4: incremental entity add (content dict with id/name/type/aliases/
-    definition/attributes)."""
+    definition/attributes).  Applies the same M11 defensive alias parse as
+    the KnowledgeBase constructor."""
+    from ..stages.disambiguate import _parse_aliases
+
     row = dict(row)
+    row["aliases"] = _parse_aliases(row.get("aliases"))
     row.setdefault("source", None)
     row.setdefault("create_time", None)
     row["rerank_text"] = rerank_text(row["name"], row["aliases"],
