@@ -36,12 +36,14 @@ def entry() -> Any:
         synth_pages_dataset,
     )
 
+    from entitydisambiguation_ray.config import get_config
+
     docs = rd.read_parquet(
         "/root/testdata/sf0.001/documents.parquet", columns=["text"]
     ).take_all()
     fillers = [r["text"] for r in docs[:200]]
     pages = synth_pages_dataset(300, seed=42, fillers=fillers)
-    out = run_kg_pipeline(pages)
+    out = run_kg_pipeline(pages, cfg=get_config())
     return out["edges"]
 
 
