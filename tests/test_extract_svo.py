@@ -85,3 +85,33 @@ def test_extracted_text_byte_identical_across_parallelism(ray_session):
     a, b = run(3), run(13)
     assert a.keys() == b.keys()
     assert all(a[u] == b[u] for u in a)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_extractor_never_crashes_on_arbitrary_bytes(data):
+    out = extract_text(data)
+    assert isinstance(out, str)
+    assert out == extract_text(data)  # deterministic
+
+
+_HTMLISH = st.text(
+    alphabet="<>/ab cp&;#x\"'=\n中文。.!?", max_size=300)
+
+
+@given(_HTMLISH)
+@settings(max_examples=200, deadline=None)
+def test_extractor_and_svo_robust_on_malformed_markup(doc):
+    out = extract_text(doc.encode("utf-8"))
+    # no blank/padded lines survive (empty output is legal), stable
+    if out:
+        for line in out.split("\n"):
+            assert line == line.strip() and line != ""
+    triples = list(extract_triples(out))
+    assert triples == list(extract_triples(out))
+    for subj, rel, obj, idx in triples:
+        assert subj and obj and idx >= 0
