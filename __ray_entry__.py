@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": R.session_window,
         "semi_join": R.semi_join,
         "anti_join": R.anti_join,
+        "count_distinct": R.count_distinct,
+        "shipping_priority": R.shipping_priority,
+        "segment_stats": R.segment_stats,
         # text analysis (SQL-checked)
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -471,6 +474,9 @@ def oracle_sql() -> dict[str, str]:
         "session_window": R.SQL_SESSION_WINDOW,
         "semi_join": R.SQL_SEMI_JOIN,
         "anti_join": R.SQL_ANTI_JOIN,
+        "count_distinct": R.SQL_COUNT_DISTINCT,
+        "shipping_priority": R.SQL_SHIPPING_PRIORITY,
+        "segment_stats": R.SQL_SEGMENT_STATS,
         "token_count": SQL_TOKEN_COUNT,
         "quality_score": SQL_QUALITY,
         "langid": SQL_LANGID,

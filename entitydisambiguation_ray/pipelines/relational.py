@@ -590,3 +590,146 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """
+
+
+# --------------------------------------------------------------- exact count distinct
+
+def count_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: per-batch set-combiner, then a tiny
+    union + count (the exact counterpart to the HLL sketch operator in
+    stages/sketches.py, which pytest checks against this to ±2%)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dedup = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    from ..stages.partition import partitioned_groupby
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.drop_duplicates()
+               .groupby("l_returnflag", as_index=False)["l_partkey"]
+               .nunique())
+        return out.rename(columns={"l_partkey": "n_parts"})
+
+    # one coarse shuffle keyed on the group key (all rows of a flag land in
+    # the same partition → nunique is exact)
+    part = partitioned_groupby(dedup, "l_returnflag", per_part, nparts=8)
+    out = part.to_pandas()
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q3-style shipping priority
+
+def shipping_priority(sf_dir: str):
+    """Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) + filters +
+    grouped revenue + top-10.  Dimension chain broadcast; lineitem side
+    pre-aggregated per order inside map_batches before the tiny final
+    groupby."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_custs = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    cutoff = pd.Timestamp("1998-01-01")
+    sel = orders[(orders["o_custkey"].isin(seg_custs))
+                 & (orders["o_orderdate"] < cutoff)]
+    omap = dict(zip(sel["o_orderkey"], sel["o_orderdate"]))
+    ref = ray.put(omap)
+
+    class Rev:
+        def __init__(self):
+            self.omap = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("l_orderkey").to_pylist()
+            mask = [k in self.omap for k in keys]
+            batch = batch.filter(pa.array(mask))
+            if batch.num_rows == 0:
+                return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                                 "revenue": pa.array([], pa.float64())})
+            rev = pc.multiply(batch.column("l_extendedprice"),
+                              pc.subtract(1.0, batch.column("l_discount")))
+            df = pd.DataFrame({"l_orderkey": batch.column("l_orderkey").to_pylist(),
+                               "revenue": rev.to_numpy(zero_copy_only=False)})
+            agg = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"),
+                                      pa.scalar(pd.Timestamp("1997-01-01")))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    partial = ds.map_batches(Rev, batch_format="pyarrow",
+                             concurrency=(1, 4)).to_pandas()
+    if partial.empty:
+        return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "revenue"])
+    agg = partial.groupby("l_orderkey", as_index=False)["revenue"].sum()
+    agg["o_orderdate"] = agg["l_orderkey"].map(omap)
+    agg["revenue"] = agg["revenue"].round(2)
+    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
+    agg = agg.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    return agg[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01'
+  AND l_shipdate  > DATE '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- per-segment stats
+
+def segment_stats(sf_dir: str):
+    """Grouped min/max/mean (mean = rounded sum/count so both engines do the
+    same double division)."""
+    ds = _pq(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("c_mktsegment", as_index=False).agg(
+            s=("c_acctbal", "sum"), n=("c_acctbal", "size"),
+            mn=("c_acctbal", "min"), mx=("c_acctbal", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = part.groupby("c_mktsegment").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"),
+        Min("mn", alias_name="min_bal"), Max("mx", alias_name="max_bal"),
+    ).to_pandas()
+    out["avg_bal"] = (out["s"] / out["n"]).round(2)
+    out["n"] = out["n"].astype("int64")
+    out = out.drop(columns=["s"])
+    return out[["c_mktsegment", "n", "min_bal", "max_bal", "avg_bal"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_SEGMENT_STATS = """
+SELECT c_mktsegment, count(*) AS n,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+       ROUND(SUM(c_acctbal) / count(*), 2) AS avg_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -119,11 +119,16 @@ def minhash_batch(batch: pa.Table, *, id_col: str, text_col: str,
 
 def simhash64(text: str, k: int = 5) -> int:
     """64-bit charwise simhash (salted-crc32 feature hashing, unweighted)."""
+    from .sketches import splitmix64
+
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     one = np.uint64(1)
     for s in char_shingles(text, k):
-        h = np.uint64((zlib.crc32(s) << 32) | zlib.crc32(s, 0x9E3779B9))
+        # splitmix64 over crc32: uniform independent bit patterns (two
+        # salted crc32s of the same bytes are affinely related — see
+        # stages/sketches.splitmix64)
+        h = np.uint64(splitmix64(zlib.crc32(s)))
         bits = (h >> shifts) & one
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0

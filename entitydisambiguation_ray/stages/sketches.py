@@ -1,0 +1,96 @@
+"""Mergeable sketches for approximate aggregation at scale.
+
+HyperLogLog (Flajolet et al. 2007) — the canonical distinct-count sketch:
+one register array per batch (the combiner), registers merged with
+element-wise max in a tiny reduce — exactly the guide's "emit one serialized
+sketch per batch and merge them in a second, tiny stage" shape.  Standard
+error ≈ 1.04/√(2^p).
+
+Deterministic hashing (salted crc32 pair → 64-bit), no process-salted
+``hash()`` (SURVEY.md §1.2).
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+
+
+def splitmix64(x: int) -> int:
+    """SplitMix64 finalizer (Steele et al. 2014): full-avalanche 64-bit mix.
+
+    Needed because two crc32s of the same bytes with different init values
+    are AFFINELY related (they differ by a length-dependent constant —
+    CRC is linear), so concatenating them yields only 32 bits of entropy
+    with correlated halves; a finalizer over one crc32 gives uniformly
+    distributed 64-bit patterns (collision entropy stays 32 bits, ample for
+    sketch inputs)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    @staticmethod
+    def _hash64(value: str) -> int:
+        return splitmix64(zlib.crc32(value.encode("utf-8")))
+
+    def add_many(self, values) -> "HyperLogLog":
+        for v in values:
+            h = self._hash64(str(v))
+            idx = h & (self.m - 1)
+            w = h >> self.p
+            # rank = leading-zero count of the remaining 64-p bits, + 1
+            rank = (64 - self.p) - w.bit_length() + 1 if w else (64 - self.p) + 1
+            if rank > self.registers[idx]:
+                self.registers[idx] = rank
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:  # small-range correction
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * np.log(m / zeros)
+        return float(est)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Distributed approximate COUNT(DISTINCT column): per-batch HLL
+    sketches (combiner) merged on the driver — the merge payload is
+    ``2^p`` bytes per batch regardless of data size, no shuffle at all."""
+    import pyarrow as pa
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p).add_many(batch.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = HyperLogLog(p)
+    for s in parts["sketch"]:
+        acc.merge(HyperLogLog.deserialize(s, p))
+    return acc.estimate()

@@ -160,3 +160,28 @@ def test_embedding_neardup_lsh_finds_planted_pair(ray_session):
                                 threshold=0.95).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert (3, 7) in pairs
+
+
+def test_hyperloglog_accuracy(ray_session):
+    """HLL sketch within ~2% of exact distinct count; merge associative."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import (
+        HyperLogLog,
+        approx_distinct,
+    )
+
+    exact = 5000
+    ds = rd.range(20000).map_batches(
+        lambda b: {"k": (b["id"] % exact).astype("int64")},
+        batch_format="numpy")
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - exact) / exact < 0.05
+    # merge of split sketches == sketch of union
+    a = HyperLogLog(10).add_many(range(0, 3000))
+    b = HyperLogLog(10).add_many(range(2000, 6000))
+    u = HyperLogLog(10).add_many(range(0, 6000))
+    assert a.merge(b).estimate() == u.estimate()
+    # serialize round trip
+    s = u.serialize()
+    assert HyperLogLog.deserialize(s, 10).estimate() == u.estimate()
