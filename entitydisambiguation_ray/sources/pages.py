@@ -76,7 +76,14 @@ def _make_sentence(vocab: PageVocabulary, rng: np.random.Generator,
                 else f"新发现实体{int(rng.integers(10000)):04d}")
     else:
         subj = ssurfs[int(rng.integers(len(ssurfs)))]
-    obj = vocab.entities[oi].name  # objects use canonical names
+    # objects: canonical name half the time, any dictionary surface (alias /
+    # typo / clash class) otherwise — both argument positions exercise the
+    # full disambiguation cascade
+    if rng.random() < 0.5:
+        obj = vocab.entities[oi].name
+    else:
+        osurfs = vocab.surfaces[oi]
+        obj = osurfs[int(rng.integers(len(osurfs)))]
     if lang == "en":
         return f"{subj}{en}{obj}."
     return f"{subj}{zh}{obj}。"
