@@ -65,11 +65,15 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, candidate_gen="blocked")
     t0 = time.perf_counter()
     if args.input_parquet:
-        raise NotImplementedError(
-            "external page tables: point run_checkpointed_kg at a parquet "
-            "pages source (synthetic corpus is the sandbox default)")
-    run = run_checkpointed_kg(args.out, args.pages, seed=args.seed,
-                              nparts=args.nparts, cfg=cfg)
+        from entitydisambiguation_ray.pipelines.checkpointed import (
+            run_checkpointed_kg_from_parquet,
+        )
+
+        run = run_checkpointed_kg_from_parquet(
+            args.out, args.input_parquet, nparts=args.nparts, cfg=cfg)
+    else:
+        run = run_checkpointed_kg(args.out, args.pages, seed=args.seed,
+                                  nparts=args.nparts, cfg=cfg)
     wall = time.perf_counter() - t0
 
     import pyarrow.parquet as pq
@@ -81,7 +85,9 @@ def main(argv=None) -> int:
 
     store = run["store"]
     metrics = {
-        "pages": args.pages,
+        "input": (args.input_parquet if args.input_parquet
+                  else f"synthetic:{args.pages}"),
+        "pages": None if args.input_parquet else args.pages,
         "wall_s": round(wall, 3),
         "triples": rows_of(run["triples_dirs"]),
         "edges": rows_of(run["edges_dir"]),

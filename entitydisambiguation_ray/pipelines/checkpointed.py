@@ -121,3 +121,66 @@ def _downstream(triples: rd.Dataset, cfg: EngineConfig, concurrency) -> dict:
     decisions_sorted = rd.from_pandas(
         dec_df.sort_values("sig").reset_index(drop=True))
     return {"decisions": decisions_sorted, "edges": edges}
+
+
+def run_checkpointed_kg_from_parquet(
+    run_dir: str, pages_path: str, nparts: int = 8,
+    cfg: EngineConfig = DEFAULT_CONFIG, concurrency=(1, 8),
+    columns=("url", "html"),
+) -> dict:
+    """Resumable run over an EXTERNAL parquet page table (the input_hint
+    contract: columns url, warc_ts, html, text, lang).
+
+    Partitioning unit = input file (directory inputs) or row-group range
+    (single file), fingerprinted by (path, size, mtime) per partition so a
+    changed input refuses to resume.  Only ``url`` and ``html`` are read —
+    column pruning at the source."""
+    import json as _json
+
+    store = CheckpointStore(run_dir)
+    cfg_digest = hashlib.sha1(repr(cfg).encode()).hexdigest()[:8]
+
+    if os.path.isdir(pages_path):
+        files = sorted(
+            os.path.join(pages_path, f) for f in os.listdir(pages_path)
+            if f.endswith(".parquet"))
+    else:
+        files = [pages_path]
+    if not files:
+        raise ValueError(f"no parquet files under {pages_path!r}")
+    # partition = contiguous slice of the file list
+    nparts = min(nparts, len(files))
+    per = (len(files) + nparts - 1) // nparts
+    slices = [files[p * per:(p + 1) * per] for p in range(nparts)]
+
+    def fp_of(fs):
+        parts = [f"{f}:{os.path.getsize(f)}:{int(os.path.getmtime(f))}"
+                 for f in fs]
+        return hashlib.sha1(
+            ("|".join(parts) + ":" + cfg_digest).encode()).hexdigest()[:16]
+
+    fingerprint = fp_of(files)
+
+    def make_partition(p: int) -> rd.Dataset:
+        pages = rd.read_parquet(slices[p], columns=list(columns))
+        return triples_stage(extract_stage(pages, cfg), cfg)
+
+    triples_dirs = run_partitioned_stage(
+        store, "triples", nparts, make_partition, fingerprint)
+
+    edges_dir = store.part_dir("edges", 0)
+    decisions_dir = store.part_dir("decisions", 0)
+    if not (store.is_committed("edges", 0)
+            and store.is_committed("decisions", 0)):
+        triples = rd.read_parquet(partition_files(triples_dirs))
+        out = _downstream(triples, cfg, concurrency)
+        run_partitioned_stage(store, "decisions", 1,
+                              lambda p: out["decisions"], fingerprint)
+        run_partitioned_stage(store, "edges", 1,
+                              lambda p: out["edges"], fingerprint)
+    return {
+        "edges_dir": edges_dir,
+        "decisions_dir": decisions_dir,
+        "triples_dirs": triples_dirs,
+        "store": store,
+    }

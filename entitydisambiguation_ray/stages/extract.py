@@ -22,14 +22,14 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     binary payloads must not travel through downstream shuffles).
     """
     content = [extract_text(h) for h in batch.column("html").to_pylist()]
-    return pa.table(
-        {
-            "url": batch.column("url"),
-            "warc_ts": batch.column("warc_ts"),
-            "lang": batch.column("lang"),
-            "content": pa.array(content, type=pa.string()),
-        }
-    )
+    cols = {"url": batch.column("url")}
+    # metadata columns pass through when present (a pruned read may supply
+    # only url + html — the minimum the pipeline needs)
+    for meta in ("warc_ts", "lang"):
+        if meta in batch.column_names:
+            cols[meta] = batch.column(meta)
+    cols["content"] = pa.array(content, type=pa.string())
+    return pa.table(cols)
 
 
 def triples_batch(batch: pa.Table) -> pa.Table:

@@ -47,3 +47,31 @@ def test_kill_resume_byte_identical(ray_session, tmp_path, monkeypatch):
     assert store.committed_parts("triples") == [0, 1, 2, 3]
     res_edges = _edges_df(resumed)
     pd.testing.assert_frame_equal(res_edges, ref_edges)
+
+
+def test_external_parquet_input(ray_session, tmp_path):
+    """The input_hint contract: a parquet page table drives the same
+    pipeline, checkpointed per input file, identical output to the direct
+    path."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines import checkpointed as cp
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+    from entitydisambiguation_ray.state.checkpoint import partition_files
+
+    pages_dir = str(tmp_path / "pages")
+    synth_pages_dataset(200, seed=42).repartition(4).write_parquet(pages_dir)
+
+    run = cp.run_checkpointed_kg_from_parquet(
+        str(tmp_path / "run"), pages_dir, nparts=2)
+    ext = (rd.read_parquet(partition_files([run["edges_dir"]])).to_pandas()
+           .sort_values(["src_id", "dst_id", "rel_type"])
+           .reset_index(drop=True))
+
+    direct = (run_kg_pipeline(synth_pages_dataset(200, seed=42))["edges"]
+              .to_pandas().sort_values(["src_id", "dst_id", "rel_type"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(ext, direct)
