@@ -322,7 +322,17 @@ def round2_canonicalize(dec_df: pd.DataFrame,
             if s.final_score >= cfg.high_threshold:
                 edges.append((self_id, row["id"]))
 
-    if not edges:
+    return apply_merge_edges(dec_df, edges)
+
+
+def apply_merge_edges(dec_df: pd.DataFrame,
+                      edges: list[tuple[str, str]]) -> pd.DataFrame:
+    """Union-find over merge edges + first-occurrence representative
+    selection + canonical remap — shared by the driver-side token-index
+    round-2 and the distributed one (pipelines/round2.py)."""
+    from ..state.unionfind import UnionFind
+
+    if not len(edges):
         return dec_df
     uf = UnionFind()
     for a, b in edges:
@@ -330,6 +340,7 @@ def round2_canonicalize(dec_df: pd.DataFrame,
     comp = uf.components()
 
     # representative = member with earliest first_occ among creates
+    created = dec_df[dec_df["decision"] == "create"]
     occ = (created.groupby("canonical_id")["first_occ"].min())
     rep: dict[str, str] = {}
     for node, root in comp.items():
