@@ -250,6 +250,15 @@ def round2_canonicalize(dec_df: pd.DataFrame,
     if len(created) < 2 or cand.empty:
         return dec_df
 
+    if len(cand) > 200_000:
+        # beyond comfortable driver-side indexing: the same exact candidate
+        # rule as Ray dataflow (pipelines/round2.py, equivalence-tested)
+        from .round2 import distributed_round2_edges
+
+        e = distributed_round2_edges(rd.from_pandas(dec_df.reset_index(drop=True)),
+                                     cfg)
+        return apply_merge_edges(dec_df, list(zip(e["a"], e["b"])))
+
     kb_rows = [
         {
             "id": r.canonical_id, "name": r.name, "type": r.type,
