@@ -9,7 +9,7 @@ engine-side configuration with no reference counterpart.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..state.checkpoint import CheckpointStore, partition_files, run_partitioned_stage
-from .kg import synth_pages_dataset, extract_stage, triples_stage, run_kg_pipeline
+from .kg import extract_stage, triples_stage
 
 
 def run_checkpointed_kg(
@@ -135,8 +135,6 @@ def run_checkpointed_kg_from_parquet(
     (single file), fingerprinted by (path, size, mtime) per partition so a
     changed input refuses to resume.  Only ``url`` and ``html`` are read —
     column pruning at the source."""
-    import json as _json
-
     store = CheckpointStore(run_dir)
     cfg_digest = hashlib.sha1(repr(cfg).encode()).hexdigest()[:8]
 

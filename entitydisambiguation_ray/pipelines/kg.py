@@ -44,7 +44,6 @@ from ..sources.seed import build_seed_entities, build_vocab, seed_entities_table
 from ..stages.disambiguate import Disambiguator, disambiguate_batch
 from ..stages.extract import extract_text_batch, triples_batch
 from ..stages.mentions import (
-    MentionBuilder,
     build_mentions_batch,
     surface_sig,
     unique_mentions_partial,
@@ -289,7 +288,7 @@ def round2_canonicalize(dec_df: pd.DataFrame,
     hot_df = {t for t, ids in tok_index.items() if len(ids) > 256}
 
     from ..functions.encoder import make_encoder
-    from ..functions.scoring import MERGE, comprehensive_score
+    from ..functions.scoring import comprehensive_score
 
     enc = make_encoder(cfg.encoder, cfg.embedding_dim)
     kb_vec_cache: dict[int, object] = {}

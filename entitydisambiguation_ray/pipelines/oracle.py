@@ -18,10 +18,7 @@ online delta SURVEY.md §7.4 calls out — rather than implementation drift.
 """
 from __future__ import annotations
 
-import json
 from collections.abc import Iterable
-
-import numpy as np
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.extract import extract_text

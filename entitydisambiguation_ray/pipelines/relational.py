@@ -17,11 +17,9 @@ its idiomatic Ray Data expression.  Conventions:
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

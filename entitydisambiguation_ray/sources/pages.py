@@ -17,7 +17,7 @@ from datetime import datetime, timedelta
 
 import numpy as np
 
-from .seed import MentionEntry, SeedEntity, build_seed_entities, build_vocab
+from .seed import SeedEntity, build_seed_entities, build_vocab
 
 PAGE_EPOCH = datetime(2024, 6, 1, 0, 0, 0)
 

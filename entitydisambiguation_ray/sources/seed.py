@@ -15,7 +15,7 @@ scoring path of the disambiguation cascade is exercised.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 from ..functions.hashing import generate_entity_id

@@ -31,7 +31,6 @@ import hashlib
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 # ---------------------------------------------------------------- shingles

@@ -17,7 +17,6 @@ early, SURVEY.md §7.4).
 from __future__ import annotations
 
 import hashlib
-import math
 
 import numpy as np
 import pyarrow as pa

@@ -65,8 +65,6 @@ def distributed_components(edges_ds, nparts: int = 64, max_rounds: int = 50):
     changes.  Keyed shuffles only; no driver-side edge materialization."""
     import pyarrow as pa
 
-    import ray.data as rd
-
     from ..stages.partition import partitioned_groupby
 
     # label(node) starts as node itself; edges propagate min labels
