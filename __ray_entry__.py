@@ -348,6 +348,20 @@ def _q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fp_md5"]).sort("doc_id")
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT l_partkey) per l_returnflag — the
+    sketch counterpart of ``count_distinct`` (rows-only: approximate by
+    design; pytest asserts ±2% of the exact answer)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import approx_distinct_by
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_partkey"])
+    return approx_distinct_by(ds, "l_returnflag", "l_partkey")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic media corpus → image feature stage
     (decode stubbed deterministically — stages/multimodal.py)."""
@@ -421,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.semi_join,
         "anti_join": R.anti_join,
         "count_distinct": R.count_distinct,
+        "approx_distinct": _q_approx_distinct,       # rows-only (HLL sketch)
         "shipping_priority": R.shipping_priority,
         "segment_stats": R.segment_stats,
         # text analysis (SQL-checked)

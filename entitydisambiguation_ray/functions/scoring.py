@@ -102,6 +102,40 @@ def comprehensive_score(
     return s
 
 
+def max_type_multiplier(cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+    """Largest multiplier ``type_multiplier`` can return under ``cfg``."""
+    return max(1.0, cfg.type_match_bonus, cfg.type_mismatch_penalty)
+
+
+def token_prune_exact(cfg: EngineConfig = DEFAULT_CONFIG) -> bool:
+    """Whether the round-2 token-overlap candidate prune is EXACT for merges
+    under ``cfg``: with no shared M1 token, ce == 0 and the max achievable
+    final score is ``(w_bge + w_fuzz + w_lev) * max_multiplier`` (bge, fuzz,
+    lev are all ≤ 1 by construction) — the prune loses no merges iff that
+    bound stays below ``high_threshold``.  Holds for the reference defaults
+    (0.7 < 0.72) but NOT for arbitrary ``ED_RAY_*`` overrides (e.g.
+    HIGH_THRESHOLD=0.65), so round-2 entry points must check it and fall
+    back / fail loudly instead of silently losing recall."""
+    ceiling = (cfg.bge_weight + cfg.fuzz_weight + cfg.levenshtein_weight)
+    return ceiling * max_type_multiplier(cfg) < cfg.high_threshold
+
+
+def bge_prefilter_floor(cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+    """Smallest bge cosine at which a pair could still reach
+    ``high_threshold`` when every other component is maximal (ce ≤ 1 when a
+    reranker is active, else 0; fuzz ≤ 1; lev ≤ 1; multiplier ≤
+    ``max_type_multiplier``).  Pairs with bge below this are provably
+    non-merges (the exception path caps at ``bge * 0.5`` ≤ 0.5 < any sane
+    threshold), so candidate scoring can skip the string cascade for them —
+    a cheap vectorized dot-product prefilter."""
+    if cfg.bge_weight <= 0:
+        return float("-inf")
+    ce_max = 0.0 if cfg.reranker == "none" else 1.0
+    rest = (cfg.cross_encoder_weight * ce_max + cfg.fuzz_weight
+            + cfg.levenshtein_weight)
+    return (cfg.high_threshold / max_type_multiplier(cfg) - rest) / cfg.bge_weight
+
+
 def make_decision(
     final_score: float,
     force_decision: bool = False,

@@ -173,18 +173,37 @@ class EdgeRewriter:
         c = self._sig_memo.get(surface)
         if c is None:
             sig = surface_sig(surface, self.dict)
-            c = self.map.get(sig, "")
+            c = self.map.get(sig)
+            if c is None:
+                # Every triple surface flows through mentions → decisions, so
+                # a miss means the canonical map is stale/partial — corrupting
+                # the edge table silently is worse than failing the run.
+                raise KeyError(
+                    f"surface {surface!r} (sig {sig!r}) missing from the "
+                    "canonical map — decisions table does not cover the "
+                    "triples input")
             self._sig_memo[surface] = c
         return c
 
+    def _canon_column(self, col) -> pa.Array:
+        # dictionary-encode → resolve each UNIQUE surface once, then take()
+        # back to row order (hot surfaces dominate real corpora)
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.chunk(0) if col.num_chunks == 1
+                   else pa.concat_arrays(col.chunks) if col.num_chunks
+                   else pa.array([], col.type))
+        enc = col.dictionary_encode()
+        vals = [self._canon(s) for s in enc.dictionary.to_pylist()]
+        return pa.array(vals, pa.string()).take(enc.indices)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        src = [self._canon(s) for s in batch.column("subj").to_pylist()]
-        dst = [self._canon(s) for s in batch.column("obj").to_pylist()]
+        src = self._canon_column(batch.column("subj"))
+        dst = self._canon_column(batch.column("obj"))
         rel = batch.column("pred")
         return pa.table(
             {
-                "src_id": pa.array(src, type=pa.string()),
-                "dst_id": pa.array(dst, type=pa.string()),
+                "src_id": src,
+                "dst_id": dst,
                 "rel_type": rel,
                 "url": batch.column("url"),
                 "sent_idx": batch.column("sent_idx"),
@@ -217,15 +236,13 @@ def _edge_key(batch: pa.Table) -> pa.Table:
 
 
 def _dedup_partial_edges(batch: pa.Table) -> pa.Table:
-    seen: set[str] = set()
-    keep = []
-    col = batch.column("edge_key")
-    for i in range(batch.num_rows):
-        k = col[i].as_py()
-        if k not in seen:
-            seen.add(k)
-            keep.append(i)
-    return batch.take(keep)
+    """Per-batch combiner before the edge-key shuffle dedup: keep the first
+    row per edge_key, vectorized (pandas hash dedup — the per-row
+    ``.as_py()`` loop this replaces dominated the triples-proportional
+    stage)."""
+    df = batch.to_pandas()
+    return pa.Table.from_pandas(df.drop_duplicates("edge_key"),
+                                preserve_index=False)
 
 
 def round2_canonicalize(dec_df: pd.DataFrame,
@@ -267,15 +284,39 @@ def round2_canonicalize(dec_df: pd.DataFrame,
         }
         for r in created.itertuples()
     ]
-    # Candidate generation for round 2 is EXACT via a token-overlap
-    # inverted index over M1 rerank texts: a merge needs final >= 0.72, and
-    # with bge, fuzz, lev <= 1 that forces cross_encoder_score > 0, i.e. at
-    # least one shared M1 token — so pairs with disjoint token sets (the
-    # entire random-novel-name mass) are provably non-merges and are never
-    # scored or even embedded.  Ultra-common tokens (df > 256) are skipped
-    # as pair generators (a pair sharing ONLY such tokens is noise); at
-    # driver-exceeding scale the same index is a (token → id) groupby.
+    # Candidate generation for round 2 uses a token-overlap inverted index
+    # over M1 rerank texts: under the default weights a merge needs
+    # final >= 0.72, and with bge, fuzz, lev <= 1 that forces
+    # cross_encoder_score > 0, i.e. at least one shared M1 token — so pairs
+    # with disjoint token sets (the random-novel-name mass) are provably
+    # non-merges and are never scored or even embedded.  That invariant
+    # (scoring.token_prune_exact) depends on the weight configuration;
+    # when an ED_RAY_* override breaks it, fall back to unpruned all-pairs
+    # generation (bounded) instead of silently losing merges.
+    #
+    # Hot tokens stay pair generators up to ROUND2_DF_HARD (per-mention cost
+    # is one dot product per candidate thanks to the bge prefilter below);
+    # only tokens beyond that hard cap are dropped, with the dropped pair
+    # mass counted and logged — pairs sharing ONLY such head-vocabulary
+    # tokens can in principle merge, so the drop is an explicit recall
+    # trade-off, not "noise".
     from collections import defaultdict
+
+    from ..functions.scoring import (
+        bge_prefilter_floor,
+        comprehensive_score,
+        token_prune_exact,
+    )
+    from .round2 import ROUND2_DF_HARD
+
+    prune_ok = token_prune_exact(cfg)
+    if not prune_ok and len(created) > 20_000:
+        raise ValueError(
+            "round-2 token-overlap prune is not exact under this config "
+            f"((bge+fuzz+lev weights)*max_multiplier >= high_threshold="
+            f"{cfg.high_threshold}) and the created-entity set "
+            f"({len(created)}) is too large for unpruned all-pairs scoring; "
+            "restore default weights or disable round2_dedup")
 
     edges: list[tuple[str, str]] = []
     tok_index: dict[str, list[int]] = defaultdict(list)
@@ -285,13 +326,15 @@ def round2_canonicalize(dec_df: pd.DataFrame,
         kb_rtexts.append(rt)
         for t in set(rt.split()):
             tok_index[t].append(k)
-    hot_df = {t for t, ids in tok_index.items() if len(ids) > 256}
+    hot_df = {t for t, ids in tok_index.items() if len(ids) > ROUND2_DF_HARD}
+
+    import numpy as np
 
     from ..functions.encoder import make_encoder
-    from ..functions.scoring import comprehensive_score
 
     enc = make_encoder(cfg.encoder, cfg.embedding_dim)
     kb_vec_cache: dict[int, object] = {}
+    bge_floor = bge_prefilter_floor(cfg)
 
     def kb_vec(k: int):
         v = kb_vec_cache.get(k)
@@ -303,6 +346,8 @@ def round2_canonicalize(dec_df: pd.DataFrame,
         return v
 
     kb_idx_of = {row["id"]: k for k, row in enumerate(kb_rows)}
+    all_ids = set(range(len(kb_rows)))
+    dropped_pair_mass = 0
     m_cols = [cand[c].tolist() for c in
               ("name", "type", "aliases_json", "definition", "attributes",
                "canonical_id")]
@@ -310,25 +355,42 @@ def round2_canonicalize(dec_df: pd.DataFrame,
             *m_cols):
         aliases = json.loads(aliases_json)
         rtext = _rtext(name, aliases, definition)
-        cand_ids: set[int] = set()
-        for t in set(rtext.split()):
-            if t in hot_df:
-                continue
-            cand_ids.update(tok_index.get(t, ()))
+        if prune_ok:
+            cand_ids: set[int] = set()
+            for t in set(rtext.split()):
+                ids = tok_index.get(t, ())
+                if t in hot_df:
+                    dropped_pair_mass += len(ids)
+                    continue
+                cand_ids.update(ids)
+        else:
+            cand_ids = set(all_ids)
         cand_ids.discard(kb_idx_of.get(self_id, -1))
         if not cand_ids:
             continue
         # embed lazily: only mentions with surviving candidates pay it
         mvec = enc.encode([_etext(name, aliases, definition, attributes)])[0]
-        for k in cand_ids:
+        ks = sorted(cand_ids)
+        # vectorized bge prefilter: the string cascade runs only for pairs
+        # whose score could still reach high_threshold
+        bges = np.asarray([kb_vec(k) for k in ks]) @ mvec
+        for k, bge in zip(ks, bges):
+            if bge < bge_floor:
+                continue
             row = kb_rows[k]
-            bge = float(mvec @ kb_vec(k))
             s = comprehensive_score(
                 name, aliases, mtype, rtext,
                 row["name"], row["aliases"], row["type"],
-                kb_rtexts[k], bge, cfg)
+                kb_rtexts[k], float(bge), cfg)
             if s.final_score >= cfg.high_threshold:
                 edges.append((self_id, row["id"]))
+    if dropped_pair_mass:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "round-2 dropped %d candidate-pair slots via tokens with "
+            "df > %d — merges relying ONLY on such head tokens are missed",
+            dropped_pair_mass, ROUND2_DF_HARD)
 
     return apply_merge_edges(dec_df, edges)
 
@@ -392,10 +454,13 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
 
     # decisions is small by construction (distinct mentions); collect the
     # canonical map and created-entity rows on the driver.  Residual
-    # duplicate sigs from the shuffle-free unique stage are identical rows —
-    # drop deterministically.
+    # duplicate sigs from the shuffle-free unique stage (exact=False) agree
+    # in every content column but carry per-batch first_occ minima — sort on
+    # (sig, first_occ) so the kept row is the global-min occurrence
+    # regardless of block arrival order (round-2 representative selection
+    # depends on it).
     dec_df = decisions.to_pandas()
-    dec_df = (dec_df.sort_values("sig", kind="mergesort")
+    dec_df = (dec_df.sort_values(["sig", "first_occ"], kind="mergesort")
               .drop_duplicates("sig").reset_index(drop=True))
     if cfg.round2_dedup:
         dec_df = round2_canonicalize(dec_df, cfg)

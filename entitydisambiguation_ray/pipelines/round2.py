@@ -16,16 +16,26 @@ as Ray Data dataflow for decision tables too large to collect:
                         (state/unionfind.distributed_components for the
                         edge lists that outgrow the driver too)
 
-Ultra-common tokens (document frequency above ``df_cap``) are dropped as
-pair generators by a two-pass count — identical to the driver version's
-``hot_df`` rule.  Payloads ride along in the token rows (shuffle volume =
-tokens × content; the alternative shape, pair-ids + a content join, trades
-a second shuffle for thinner rows — same semantics).
+The candidate rule matches the driver version exactly (equivalence-tested):
+tokens with document frequency above ``ROUND2_DF_HARD`` are dropped as pair
+generators by a two-pass count, with the dropped pair mass counted and
+logged (pairs sharing ONLY such head tokens CAN merge — the drop is an
+explicit recall trade-off at the extreme head, not "noise"); tokens below
+the cap generate pairs through a vectorized bge-prefilter (matmul + upper
+bound, scoring.bge_prefilter_floor) so hot-but-capped tokens cost one dot
+product per pair, not a string cascade.  The token prune itself is exact
+only while ``scoring.token_prune_exact(cfg)`` holds — checked at entry,
+loud failure otherwise (the driver version falls back to all-pairs; at
+distributed scale that fallback is intractable by definition).  Payloads
+ride along in the token rows (shuffle volume = tokens × content; the
+alternative shape, pair-ids + a content join, trades a second shuffle for
+thinner rows — same semantics).
 """
 from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -33,9 +43,18 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.encoder import make_encoder
-from ..functions.scoring import comprehensive_score
+from ..functions.scoring import (
+    bge_prefilter_floor,
+    comprehensive_score,
+    token_prune_exact,
+)
 from ..functions.textbuild import embed_text, rerank_text
 from ..stages.partition import partitioned_groupby
+
+# hard document-frequency cap beyond which a token stops generating
+# candidate pairs (shared with the driver-side round-2 in pipelines/kg.py so
+# the two implementations stay equivalence-testable)
+ROUND2_DF_HARD = 4096
 
 _ENCODERS: dict[EngineConfig, object] = {}
 
@@ -80,11 +99,18 @@ def _explode_tokens(batch: pa.Table, side: str) -> pa.Table:
 
 def distributed_round2_edges(
     decisions: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
-    df_cap: int = 256, nparts: int = 32,
+    df_cap: int = ROUND2_DF_HARD, nparts: int = 32,
 ) -> pd.DataFrame:
     """decisions Dataset (DECISION_SCHEMA columns) → distinct merge-edge
     DataFrame (a, b)."""
     import pyarrow.compute as pc
+
+    if not token_prune_exact(cfg):
+        raise ValueError(
+            "round-2 token-overlap prune is not exact under this config "
+            "((bge+fuzz+lev weights)*max_multiplier >= high_threshold) — "
+            "distributed round-2 cannot fall back to all-pairs scoring; "
+            "restore default weights or disable round2_dedup")
 
     created = decisions.map_batches(
         lambda t: t.filter(pc.equal(t.column("decision"), "create")),
@@ -107,44 +133,69 @@ def distributed_round2_edges(
         batch_format="pyarrow")
         .groupby("token").aggregate(Count(alias_name="n")).to_pandas())
     hot = set(kb_counts.loc[kb_counts["n"] > df_cap, "token"])
+    bge_floor = bge_prefilter_floor(cfg)
 
     def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
         enc = _encoder_for(cfg)
         out = []
         seen: set[tuple[str, str]] = set()
+        payload_cache: dict[str, dict] = {}
         vec_cache: dict[str, object] = {}
+        dropped = 0
 
-        def vec_of(payload: dict, key: str):
-            v = vec_cache.get(key)
+        def parsed(pid: str, payload_json: str) -> dict:
+            p = payload_cache.get(pid)
+            if p is None:
+                p = json.loads(payload_json)
+                payload_cache[pid] = p
+            return p
+
+        def vec_of(pid: str, payload_json: str):
+            v = vec_cache.get(pid)
             if v is None:
-                v = enc.encode([embed_text(payload["name"],
-                                           payload["aliases"],
-                                           payload["definition"],
-                                           payload["attributes"])])[0]
-                vec_cache[key] = v
+                p = parsed(pid, payload_json)
+                v = enc.encode([embed_text(p["name"], p["aliases"],
+                                           p["definition"],
+                                           p["attributes"])])[0]
+                vec_cache[pid] = v
             return v
 
         for token, g in df.groupby("token", sort=False):
-            if token in hot:
-                continue
             kb = g[g["side"] == "kb"]
             pr = g[g["side"] == "probe"]
             if kb.empty or pr.empty:
                 continue
-            for pid, ppay in zip(pr["id"], pr["payload"]):
-                for kid, kpay in zip(kb["id"], kb["payload"]):
-                    if pid == kid or (pid, kid) in seen:
-                        continue
-                    seen.add((pid, kid))
-                    m = json.loads(ppay)
-                    e = json.loads(kpay)
-                    bge = float(vec_of(m, pid) @ vec_of(e, kid))
-                    s = comprehensive_score(
-                        m["name"], m["aliases"], m["type"], m["rtext"],
-                        e["name"], e["aliases"], e["type"], e["rtext"],
-                        bge, cfg)
-                    if s.final_score >= cfg.high_threshold:
-                        out.append((pid, kid))
+            if token in hot:
+                dropped += len(kb) * len(pr)
+                continue
+            kids = kb["id"].tolist()
+            pids = pr["id"].tolist()
+            kvecs = np.asarray([vec_of(i, p) for i, p in
+                                zip(kids, kb["payload"])])
+            pvecs = np.asarray([vec_of(i, p) for i, p in
+                                zip(pids, pr["payload"])])
+            # vectorized prefilter: only pairs whose bge could still reach
+            # high_threshold get the string cascade
+            bges = pvecs @ kvecs.T
+            for i, j in np.argwhere(bges >= bge_floor):
+                pid, kid = pids[i], kids[j]
+                if pid == kid or (pid, kid) in seen:
+                    continue
+                seen.add((pid, kid))
+                m = parsed(pid, pr["payload"].iloc[i])
+                e = parsed(kid, kb["payload"].iloc[j])
+                s = comprehensive_score(
+                    m["name"], m["aliases"], m["type"], m["rtext"],
+                    e["name"], e["aliases"], e["type"], e["rtext"],
+                    float(bges[i, j]), cfg)
+                if s.final_score >= cfg.high_threshold:
+                    out.append((pid, kid))
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "round-2 partition dropped %d candidate pairs via tokens "
+                "with df > %d", dropped, df_cap)
         return pd.DataFrame(out, columns=["a", "b"])
 
     edges = partitioned_groupby(both, "token", pairs_in_partition,

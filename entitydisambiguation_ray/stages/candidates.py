@@ -119,6 +119,9 @@ def blocked_decisions(
     created-vs-created dedup pass, where every mention is also in the KB)."""
     probes = unique_mentions.map_batches(
         explode_mention_probes, batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice (hot-block count pass + salted decide pass) — pin the
+    # exploded rows so the explode and everything upstream run once
+    probes = probes.materialize()
     salts = hot_blocks(probes, salt_threshold)
 
     def add_salt(batch: pa.Table) -> pa.Table:

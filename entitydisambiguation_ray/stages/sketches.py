@@ -94,3 +94,34 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     for s in parts["sketch"]:
         acc.merge(HyperLogLog.deserialize(s, p))
     return acc.estimate()
+
+
+def approx_distinct_by(ds, group_col: str, column: str, p: int = 12):
+    """Grouped approximate COUNT(DISTINCT column) per ``group_col`` value:
+    one HLL per (batch, group) — the combiner — merged per group on the
+    driver.  Driver payload is ``n_groups_per_batch × 2^p`` bytes per batch,
+    independent of row count; suited to LOW-cardinality group keys (flags,
+    languages, shards).  High-cardinality keys should use the exact
+    shuffle-based ``pipelines.relational.count_distinct`` instead."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        groups, blobs = [], []
+        for gval, g in df.groupby(group_col, sort=False):
+            groups.append(gval)
+            blobs.append(HyperLogLog(p).add_many(g[column]).serialize())
+        return pa.table({group_col: pa.array(groups),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = []
+    for gval, g in parts.groupby(group_col, sort=True):
+        acc = HyperLogLog(p)
+        for s in g["sketch"]:
+            acc.merge(HyperLogLog.deserialize(s, p))
+        out.append({group_col: gval,
+                    "approx_n": int(round(acc.estimate()))})
+    return pd.DataFrame(out)

@@ -185,3 +185,51 @@ def test_hyperloglog_accuracy(ray_session):
     # serialize round trip
     s = u.serialize()
     assert HyperLogLog.deserialize(s, 10).estimate() == u.estimate()
+
+
+def test_approx_distinct_by_matches_exact(ray_session):
+    """Grouped HLL within 2% of the exact per-group distinct count."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import approx_distinct_by
+
+    ds = rd.range(30000).map_batches(
+        lambda b: {"g": np.where(b["id"] % 3 == 0, "A", "B"),
+                   "k": (b["id"] % 4000).astype("int64")},
+        batch_format="numpy")
+    out = approx_distinct_by(ds, "g", "k", p=12).set_index("g")["approx_n"]
+    # exact: group A holds k = 3i % 4000 → all 4000 residues; B the same
+    assert abs(out["A"] - 4000) / 4000 < 0.02
+    assert abs(out["B"] - 4000) / 4000 < 0.02
+
+
+def test_round2_prune_invariant_guard():
+    """token_prune_exact reflects the config algebra; the distributed
+    round-2 fails loudly when the prune is inexact."""
+    import pytest
+
+    from entitydisambiguation_ray.config import EngineConfig
+    from entitydisambiguation_ray.functions.scoring import (
+        bge_prefilter_floor,
+        token_prune_exact,
+    )
+
+    assert token_prune_exact(EngineConfig())
+    # lowering the threshold below the ce=0 ceiling breaks the invariant
+    assert not token_prune_exact(EngineConfig(high_threshold=0.65))
+    # a type bonus > 1 lifts the ceiling past the default threshold
+    assert not token_prune_exact(EngineConfig(type_match_bonus=1.1))
+    # default floor: (0.72 - 0.6) / 0.4 = 0.3
+    assert abs(bge_prefilter_floor(EngineConfig()) - 0.3) < 1e-12
+    # reranker="none": ce is always 0 → tighter floor (0.72-0.3)/0.4
+    assert abs(bge_prefilter_floor(EngineConfig(reranker="none")) - 1.05) < 1e-12
+
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.round2 import (
+        distributed_round2_edges,
+    )
+
+    with pytest.raises(ValueError, match="not exact"):
+        distributed_round2_edges(rd.from_items([{"decision": "create"}]),
+                                 EngineConfig(high_threshold=0.65))
