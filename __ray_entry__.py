@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_topk": R.groupby_topk,
         "broadcast_join_agg": R.broadcast_join_agg,
         "shuffle_join_agg": R.shuffle_join_agg,
+        "join_detail": R.join_detail,
+        "semi_join_shuffle": R.semi_join_shuffle,
+        "anti_join_shuffle": R.anti_join_shuffle,
         "pricing_summary": R.pricing_summary,
         "distinct_values": R.distinct_values,
         "json_extract": R.json_extract,
@@ -482,6 +485,9 @@ def oracle_sql() -> dict[str, str]:
         "groupby_topk": R.SQL_GROUPBY_TOPK,
         "broadcast_join_agg": R.SQL_BROADCAST_JOIN_AGG,
         "shuffle_join_agg": R.SQL_SHUFFLE_JOIN_AGG,
+        "join_detail": R.SQL_JOIN_DETAIL,
+        "semi_join_shuffle": R.SQL_SEMI_JOIN,
+        "anti_join_shuffle": R.SQL_ANTI_JOIN,
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "distinct_values": R.SQL_DISTINCT_VALUES,
         "json_extract": R.SQL_JSON_EXTRACT,

