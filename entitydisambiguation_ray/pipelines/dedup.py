@@ -42,15 +42,20 @@ def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
 def minhash_lsh_pairs(
     ds: rd.Dataset, id_col: str, text_col: str,
     *, num_perm: int = 64, bands: int = 16, threshold: float = 0.6,
-    shingle_k: int = 5,
+    shingle_k: int = 5, verify: str = "join",
 ) -> rd.Dataset:
     """MinHash+LSH near-dup detection → verified pair list
     (id_a, id_b, jaccard ≥ threshold).
 
     Shuffles: (1) band groupby over small (band, hash, id) rows;
-    (2) candidate-pair groupby for dedup.  Texts are re-fetched only for
-    the (small) candidate set via a broadcast id→text map; at KB scale this
-    becomes a shuffle hash join on doc_id instead."""
+    (2) candidate-pair groupby for dedup; (3+4) with ``verify="join"``
+    (default, the scale path) the candidate pairs are joined BACK to the
+    text table twice via the co-partitioned shuffle hash join
+    (stages/join.py) — no full-corpus driver collect anywhere; the join
+    input is only the (small) candidate set on the left and the text table
+    on the right.  ``verify="broadcast"`` keeps the legacy id→text
+    broadcast (driver-collected — only for corpora that fit the driver;
+    equivalence-tested against the join path)."""
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm)
     exploded = ds.map_batches(
@@ -91,12 +96,17 @@ def minhash_lsh_pairs(
         "pair_key", nparts=8,
     ).drop_columns(["pair_key"])
 
+    if verify == "join":
+        return _verify_pairs_join(candidates, ds, id_col, text_col, threshold)
+    if verify != "broadcast":
+        raise ValueError(f"verify must be 'join' or 'broadcast', {verify!r}")
+
     tdf = ds.select_columns([id_col, text_col]).to_pandas()
     texts = dict(zip(tdf[id_col], tdf[text_col]))
     import ray
     texts_ref = ray.put(texts)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_fn(batch: pa.Table) -> pa.Table:
         # stateless task over warm workers; broadcast text map fetched once
         # per worker process (same pattern as kg.rewrite_edges_batch)
         key = texts_ref.hex()
@@ -114,7 +124,44 @@ def minhash_lsh_pairs(
         return batch.filter(
             pa.compute.greater_equal(batch.column("jaccard"), threshold))
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    return candidates.map_batches(verify_fn, batch_format="pyarrow")
+
+
+def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
+                       id_col: str, text_col: str,
+                       threshold: float) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate pairs WITHOUT any driver-side
+    text table: two shuffle hash joins fetch text_a / text_b, then a
+    stateless per-row kernel scores and filters.  Join input sizes: |pairs|
+    (left, small after banding) × |corpus| (right) — both streamed."""
+    from ..stages.join import shuffle_hash_join
+
+    texts = ds.select_columns([id_col, text_col])
+    j1 = shuffle_hash_join(candidates, texts, on="id_a", right_on=id_col,
+                           nparts=16, rsuffix="_a")
+    j1 = _rename(j1, text_col, "_text_a")
+    j2 = shuffle_hash_join(j1, texts, on="id_b", right_on=id_col,
+                           nparts=16, rsuffix="_b")
+    j2 = _rename(j2, text_col, "_text_b")
+
+    def score(batch: pa.Table) -> pa.Table:
+        ja = [ngram_jaccard(a or "", b or "")
+              for a, b in zip(batch.column("_text_a").to_pylist(),
+                              batch.column("_text_b").to_pylist())]
+        batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+        batch = batch.filter(
+            pa.compute.greater_equal(batch.column("jaccard"), threshold))
+        return batch.select(["id_a", "id_b", "jaccard"])
+
+    return j2.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _rename(ds_in: rd.Dataset, old: str, new: str) -> rd.Dataset:
+    return ds_in.map_batches(
+        lambda t: t.rename_columns(
+            [new if c == old else c for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
@@ -126,20 +173,21 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # consumed 4× below (one pass per band); small sketch rows
 
-    sdf = sh.select_columns(["doc_id", "simhash"]).to_pandas()
-    sims = dict(zip(sdf["doc_id"], sdf["simhash"]))
-
     def band_pairs(df: pd.DataFrame, band_col: str) -> pd.DataFrame:
+        # each sketch row carries its own simhash, so the full Hamming check
+        # runs from in-partition values — no driver-side id→simhash map
         rows = []
         for _, g in df.groupby(band_col, sort=False):
             if len(g) < 2:
                 continue
-            ids = sorted(set(g["doc_id"].tolist()))
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].tolist()
+            hs = [int(h) for h in g["simhash"]]
             for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    h = hamming64(int(sims[a]), int(sims[b]))
+                for j in range(i + 1, len(ids)):
+                    h = hamming64(hs[i], hs[j])
                     if h <= max_hamming:
-                        rows.append((a, b, h))
+                        rows.append((a, ids[j], h))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     per_band = [

@@ -41,10 +41,37 @@ from .partition import hash_partition_ids
 _HOW = ("inner", "left", "semi", "anti")
 
 
+def _pad_array(n: int, typ: pa.DataType) -> pa.Array:
+    """Null-free filler for the other side's columns.  The padded cells are
+    NEVER read (the merge splits sides before converting to pandas), but
+    they MUST be null-free: Ray's sort shuffle may round-trip blocks
+    through pandas, where an int64 column with nulls silently widens to
+    float64 — corrupting ids above 2^53.  Zero values of the right type
+    survive any pandas round-trip losslessly."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), type=typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=bool))
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, type=typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array([b""] * n, type=typ)
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ) \
+            or pa.types.is_time(typ) or pa.types.is_duration(typ):
+        return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return pa.array([[]] * n, type=typ)
+    # exotic types: nulls (documented caveat — a pandas round-trip may
+    # widen them, but such columns are objects in pandas anyway)
+    return pa.nulls(n, typ)
+
+
 def _arrow_types(ds: rd.Dataset) -> dict[str, pa.DataType]:
     """name → pyarrow type, normalizing Ray's schema wrappers (pandas-backed
     blocks report numpy dtypes / Python classes instead of Arrow types)."""
     s = ds.schema()
+    if s is None:
+        raise ValueError("cannot join a schemaless (fully empty) Dataset")
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return dict(zip(base.names, base.types))
@@ -131,9 +158,17 @@ def shuffle_hash_join(
             for name, typ in unified:
                 names.append(name)
                 if name in batch.column_names:
-                    arrays.append(batch.column(name))
+                    col = batch.column(name)
+                    if col.type != typ:
+                        # enforce the declared schema: upstream stages that
+                        # emit EMPTY blocks with degraded dtypes (pandas
+                        # gives empty frames float64/object columns) would
+                        # otherwise poison Ray's schema unification and
+                        # widen the whole join output
+                        col = col.cast(typ)
+                    arrays.append(col)
                 else:
-                    arrays.append(pa.nulls(n, typ))
+                    arrays.append(_pad_array(n, typ))
             out = pa.table(dict(zip(names, arrays)))
             part = hash_partition_ids(out, lkeys, nparts)
             out = out.append_column(

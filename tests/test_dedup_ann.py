@@ -81,6 +81,36 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_verify_join_equals_broadcast(ray_session):
+    """The scale-path join verify produces exactly the legacy broadcast
+    verify's pairs (same ids, same jaccard) with no driver text collect."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 3
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            rows.append({"doc_id": i, "text": base})
+        elif i % 4 == 1:
+            rows.append({"doc_id": i,
+                         "text": base.replace("dolor", f"dolor{i % 8}")})
+        else:
+            rows.append({"doc_id": i, "text": f"unique content {i} " * 30})
+    ds = rd.from_items(rows)
+    a = (minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.4,
+                           verify="join").to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.4,
+                           verify="broadcast").to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a[["id_a", "id_b", "jaccard"]],
+                                  b[["id_a", "id_b", "jaccard"]])
+
+
 def test_ann_brute_force_and_lsh(ray_session):
     import ray.data as rd
 
