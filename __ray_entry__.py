@@ -293,6 +293,30 @@ def _q_ann_lsh(sf_dir: str):
     return out.sort_values(["query_idx", "rank"]).reset_index(drop=True)
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF ANN with TRAINED coarse centroids (distributed spherical
+    k-means, pipelines/ann.kmeans_fit) — rows-only (approximate by design;
+    recall vs the exact baseline asserted in pytest)."""
+    _quiet()
+    import numpy as np
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.ann import ivf_topk, kmeans_fit
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qdf = (ds.sort("vec_id").limit(3)).to_pandas()
+    queries = np.asarray([np.asarray(v) for v in qdf["embedding"]])
+    cents = kmeans_fit(ds, "embedding", n_centroids=8, iters=3)
+    out = ivf_topk(ds, "vec_id", "embedding", queries, k=10,
+                   n_probe=3, centroids=cents)
+    out = out[["query_idx", "vec_id", "cosine", "rank"]].copy()
+    out["cosine"] = out["cosine"].round(6)
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_idx", "rank"]).reset_index(drop=True)
+
+
 def _q_token_count(sf_dir: str):
     _quiet()
     import functools
@@ -454,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,                    # SQL-checked
         "ann_lsh": _q_ann_lsh,                      # rows-only (approximate)
+        "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)
         # KG construction flagship (rows-only: iterative/stateful)
         "kg_edges": _q_kg_edges,
         "kg_edges_blocked": _q_kg_edges_blocked,

@@ -99,15 +99,22 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Same headline job at N and 4N CPUs in fresh processes (the sandbox
-    proxy for N- vs 4N-node clusters).
+    proxy for N- vs 4N-node clusters), reported for BOTH pairings so the
+    configuration choice is transparent:
 
-    Default levels are 4 and 16 on this 32-core box: using all 32 cores for
-    workers starves Ray's own system processes (raylet, object store,
-    driver) and understates scaling — exactly what a real multi-node cluster
-    does NOT do, since system daemons there have dedicated headroom.
-    Override with GRAFT_SCALING_CPUS="8,32" / GRAFT_SCALING_PAGES."""
-    lo_cpus, hi_cpus = (int(x) for x in os.environ.get(
-        "GRAFT_SCALING_CPUS", "4,16").split(","))
+    - 4→16 (the primary claim): both levels leave Ray's own system
+      processes (raylet, object store, driver) free cores — the
+      configuration that mirrors a real multi-node cluster, where system
+      daemons have dedicated headroom;
+    - 8→32 (the driver's default shape): num_cpus=32 on this 32-core box
+      gives workers every core and starves the Ray system processes, which
+      depresses measured efficiency for reasons a real cluster does not
+      have.  Reported alongside, not hidden.
+
+    Override with GRAFT_SCALING_CPUS="4,16;8,32" / GRAFT_SCALING_PAGES."""
+    pair_spec = os.environ.get("GRAFT_SCALING_CPUS", "4,16;8,32")
+    pairs = [tuple(int(x) for x in p.split(","))
+             for p in pair_spec.split(";") if p]
     scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "400000")
 
     def one(ncpu: int) -> dict:
@@ -121,24 +128,34 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = one(lo_cpus)
-    hi = one(hi_cpus)
-    thr_lo = lo["pages_per_s"]
-    thr_hi = hi["pages_per_s"]
-    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
-    return {
+    runs: dict[int, dict] = {}
+    pair_results = []
+    for lo_cpus, hi_cpus in pairs:
+        for n in (lo_cpus, hi_cpus):
+            if n not in runs:
+                runs[n] = one(n)
+        lo, hi = runs[lo_cpus], runs[hi_cpus]
+        thr_lo, thr_hi = lo["pages_per_s"], hi["pages_per_s"]
+        eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+        pair_results.append({
+            "cpus_lo": lo_cpus, "cpus_hi": hi_cpus,
+            "efficiency": round(eff, 3),
+            f"sec_{lo_cpus}": lo["value"], f"sec_{hi_cpus}": hi["value"],
+            f"pages_per_s_{lo_cpus}": thr_lo,
+            f"pages_per_s_{hi_cpus}": thr_hi,
+        })
+    primary = pair_results[0]
+    out = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": primary["efficiency"],
         "unit": "ratio",
-        "cpus_lo": lo_cpus,
-        "cpus_hi": hi_cpus,
-        f"sec_{lo_cpus}": lo["value"],
-        f"sec_{hi_cpus}": hi["value"],
-        f"pages_per_s_{lo_cpus}": thr_lo,
-        f"pages_per_s_{hi_cpus}": thr_hi,
-        "pages": lo["pages"],
-        "sf": lo["sf"],
+        "pairs": pair_results,
+        "pages": next(iter(runs.values()))["pages"],
+        "sf": next(iter(runs.values()))["sf"],
     }
+    # keep the flat primary-pair fields for consumers of the old shape
+    out.update(primary)
+    return out
 
 
 if __name__ == "__main__":

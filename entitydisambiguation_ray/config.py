@@ -64,6 +64,10 @@ class EngineConfig:
     embed_batch_size: int = 512
     score_batch_size: int = 1024
     n_salt: int = 16  # hot-key salt fan-out for the blocked path
+    # broadcast the sig→canonical map while it fits every worker; beyond
+    # this row count, edge endpoints are resolved via co-partitioned
+    # shuffle hash joins instead (pipelines/kg.rewrite_edges_join)
+    canonical_map_broadcast_max: int = 2_000_000
 
     def weights(self) -> tuple[float, float, float, float]:
         return (

@@ -45,6 +45,32 @@ def type_multiplier(
     return cfg.type_mismatch_penalty
 
 
+_REAL_CE: dict[str, object] = {}
+
+
+def get_real_cross_encoder():
+    """Process-global real CrossEncoder (mode ``reranker="cross_encoder"``),
+    loaded ONCE per worker on first use — the reference loads
+    ms-marco-MiniLM-L-6-v2 at service init (disambiguation.py:67-118).
+    Gated behind an import-try: absent in this sandbox, so the loader
+    raises a clear RuntimeError (a configuration error, loud) while
+    PREDICTION failures keep the reference's degradation semantics (the
+    caller's try/except → ``final = bge * 0.5``)."""
+    m = _REAL_CE.get("m")
+    if m is None:
+        try:  # pragma: no cover - heavyweight, absent in sandbox
+            from sentence_transformers import CrossEncoder  # type: ignore
+        except ImportError as exc:
+            raise RuntimeError(
+                "reranker='cross_encoder' requires sentence-transformers "
+                "(not installed); use reranker='hash_ce' or 'none'"
+            ) from exc
+        m = CrossEncoder("cross-encoder/ms-marco-MiniLM-L-6-v2",
+                         max_length=512)  # pragma: no cover
+        _REAL_CE["m"] = m
+    return m
+
+
 def hash_ce_raw(text_a: str, text_b: str, cfg: EngineConfig = DEFAULT_CONFIG) -> float:
     """Deterministic pseudo-CrossEncoder raw score (engine mode
     reranker="hash_ce"): token-set Jaccard of the two M1 texts mapped onto
@@ -81,11 +107,18 @@ def comprehensive_score(
 ) -> PairScore:
     """disambiguation.py:259-298.  ``rerank_a/rerank_b`` are the M1 texts."""
     s = PairScore(bge_score=bge_score)
+    # model LOAD failure is a config error and must escape the degradation
+    # try below (reference init-vs-runtime split, disambiguation.py:67-118)
+    ce_model = (get_real_cross_encoder()
+                if cfg.reranker == "cross_encoder" else None)
     try:
         if cfg.reranker == "hash_ce":
             s.cross_encoder_score = normalize_crossencoder_score(
                 hash_ce_raw(rerank_a, rerank_b, cfg), cfg
             )
+        elif ce_model is not None:  # pragma: no cover - needs model weights
+            raw = float(ce_model.predict([(rerank_a, rerank_b)])[0])
+            s.cross_encoder_score = normalize_crossencoder_score(raw, cfg)
         # reranker == "none": ce_score stays 0.0 (reference degradation)
         s.fuzz_score = fuzz_score(name_a, aliases_a, name_b, aliases_b)
         s.levenshtein_score = levenshtein_score(name_a, aliases_a, name_b, aliases_b)

@@ -133,15 +133,23 @@ def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
     """Exact-Jaccard verification of candidate pairs WITHOUT any driver-side
     text table: two shuffle hash joins fetch text_a / text_b, then a
     stateless per-row kernel scores and filters.  Join input sizes: |pairs|
-    (left, small after banding) × |corpus| (right) — both streamed."""
-    from ..stages.join import shuffle_hash_join
+    (left, small after banding) × |corpus| (right) — both streamed.
+    Schemas are passed explicitly so the chained joins never call
+    ``Dataset.schema()`` on the (expensive) candidate lineage."""
+    from ..stages.join import _arrow_types, shuffle_hash_join
 
     texts = ds.select_columns([id_col, text_col])
+    ttypes = _arrow_types(texts)  # cheap: source-backed
+    idt = ttypes[id_col]
+    cand_types = {"id_a": idt, "id_b": idt}
     j1 = shuffle_hash_join(candidates, texts, on="id_a", right_on=id_col,
-                           nparts=16, rsuffix="_a")
+                           nparts=16, rsuffix="_a",
+                           ltypes=cand_types, rtypes=ttypes)
     j1 = _rename(j1, text_col, "_text_a")
+    j1_types = {**cand_types, "_text_a": ttypes[text_col]}
     j2 = shuffle_hash_join(j1, texts, on="id_b", right_on=id_col,
-                           nparts=16, rsuffix="_b")
+                           nparts=16, rsuffix="_b",
+                           ltypes=j1_types, rtypes=ttypes)
     j2 = _rename(j2, text_col, "_text_b")
 
     def score(batch: pa.Table) -> pa.Table:

@@ -24,9 +24,11 @@ Dataflow (SURVEY.md §3.2 → Ray mapping):
 
 Nothing materializes the full input: pages stream through extraction;
 only the decisions table (≈ distinct mentions, small by construction) is
-collected on the driver to build the broadcast canonical map.  At KB sizes
-where that map no longer fits, swap the broadcast for a shuffle hash join
-on ``sig`` (documented fallback, same semantics).
+collected on the driver to build the broadcast canonical map.  Beyond
+``cfg.canonical_map_broadcast_max`` rows the broadcast is replaced by
+``rewrite_edges_join`` — two co-partitioned shuffle hash joins of the
+triples against the decisions Dataset on ``sig`` (equivalence-tested,
+byte-identical edges).
 """
 from __future__ import annotations
 
@@ -125,17 +127,23 @@ def unique_mentions_stage(mentions: rd.Dataset, exact: bool = True,
 def decisions_stage(unique_mentions: rd.Dataset,
                     cfg: EngineConfig = DEFAULT_CONFIG,
                     concurrency: int | tuple | None = None,
-                    use_actors: bool = False) -> rd.Dataset:
+                    use_actors: bool = False,
+                    num_gpus: float | None = None) -> rd.Dataset:
     """Default: stateless tasks with a process-global Disambiguator (cheap
     deterministic KB).  ``use_actors=True`` switches to a dedicated actor
     pool — required when the encoder/reranker is a real model whose load
-    cost must be amortized explicitly (SURVEY.md A1/A2)."""
+    cost must be amortized explicitly (SURVEY.md A1/A2); ``num_gpus``
+    reserves a GPU fraction per actor for model-backed encoders (the Ray
+    counterpart of the reference's torch.cuda detection,
+    vectorization.py:219-313)."""
     if use_actors:
+        kwargs = {} if num_gpus is None else {"num_gpus": num_gpus}
         return unique_mentions.map_batches(
             Disambiguator, batch_format="pyarrow",
             batch_size=cfg.score_batch_size,
             concurrency=concurrency or (1, 4),
             fn_constructor_kwargs={"cfg": cfg},
+            **kwargs,
         )
     import functools
 
@@ -223,6 +231,99 @@ def rewrite_edges_batch(batch: pa.Table, *, canonical_ref) -> pa.Table:
         rw = EdgeRewriter(canonical_ref=canonical_ref)
         _REWRITERS[key] = rw
     return rw(batch)
+
+
+_SIG_VOCAB: dict[str, object] = {}
+
+
+def add_sigs_batch(batch: pa.Table) -> pa.Table:
+    """triples → + (src_sig, dst_sig): the mention signature of each
+    endpoint surface, resolved once per UNIQUE surface per batch
+    (dictionary-encode) with a process-global vocab + memo."""
+    st = _SIG_VOCAB.get("st")
+    if st is None:
+        st = {"dict": build_vocab(build_seed_entities())[0], "memo": {}}
+        _SIG_VOCAB["st"] = st
+    vocab, memo = st["dict"], st["memo"]
+
+    def sig_col(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.chunk(0) if col.num_chunks == 1
+                   else pa.concat_arrays(col.chunks) if col.num_chunks
+                   else pa.array([], col.type))
+        enc = col.dictionary_encode()
+        vals = []
+        for s in enc.dictionary.to_pylist():
+            v = memo.get(s)
+            if v is None:
+                v = surface_sig(s, vocab)
+                memo[s] = v
+            vals.append(v)
+        return pa.array(vals, pa.string()).take(enc.indices)
+
+    batch = batch.append_column("src_sig", sig_col(batch.column("subj")))
+    return batch.append_column("dst_sig", sig_col(batch.column("obj")))
+
+
+def rewrite_edges_join(triples: rd.Dataset, sig_map: rd.Dataset,
+                       nparts: int = 64) -> rd.Dataset:
+    """The documented scale fallback for the canonical map (module doc
+    §dataflow): when sig→canonical_id outgrows a broadcast, resolve edge
+    endpoints via TWO co-partitioned shuffle hash joins against the
+    decisions Dataset instead of shipping a driver dict to every worker.
+    ``sig_map``: Dataset with (sig, canonical_id).  Missing sigs fail
+    loudly (same contract as the broadcast ``EdgeRewriter``).  Join schemas
+    are passed explicitly — ``Dataset.schema()`` on the lazy chain would
+    re-execute it."""
+    from ..stages.join import _arrow_types, shuffle_hash_join
+
+    tr = triples.map_batches(add_sigs_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    tr_types = dict(_arrow_types(triples))  # cheap: triples is materialized
+    tr_types["src_sig"] = pa.string()
+    tr_types["dst_sig"] = pa.string()
+    map_types = {"sig": pa.string(), "canonical_id": pa.string()}
+
+    def take_as(col_from: str, col_to: str):
+        def f(batch: pa.Table) -> pa.Table:
+            miss = pa.compute.sum(
+                pa.compute.cast(pa.compute.is_null(batch.column(col_from)),
+                                pa.int64())).as_py()
+            if miss:
+                raise KeyError(
+                    f"{miss} edge endpoints missing from the canonical map "
+                    "(decisions table does not cover the triples input)")
+            cols = {c: batch.column(c) for c in batch.column_names
+                    if c != col_from}
+            cols[col_to] = batch.column(col_from)
+            return pa.table(cols)
+
+        return f
+
+    j1 = shuffle_hash_join(tr, sig_map, on="src_sig", right_on="sig",
+                           how="left", nparts=nparts,
+                           ltypes=tr_types, rtypes=map_types)
+    j1 = j1.map_batches(take_as("canonical_id", "src_id"),
+                        batch_format="pyarrow")
+    j1_types = {c: t for c, t in tr_types.items()}
+    j1_types["src_id"] = pa.string()
+    j2 = shuffle_hash_join(j1, sig_map, on="dst_sig", right_on="sig",
+                           how="left", nparts=nparts,
+                           ltypes=j1_types, rtypes=map_types)
+    j2 = j2.map_batches(take_as("canonical_id", "dst_id"),
+                        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_id": batch.column("src_id"),
+            "dst_id": batch.column("dst_id"),
+            "rel_type": batch.column("pred"),
+            "url": batch.column("url"),
+            "sent_idx": batch.column("sent_idx"),
+        })
+
+    return j2.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _edge_key(batch: pa.Table) -> pa.Table:
@@ -464,15 +565,22 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
               .drop_duplicates("sig").reset_index(drop=True))
     if cfg.round2_dedup:
         dec_df = round2_canonicalize(dec_df, cfg)
-    canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
-    map_ref = ray.put(canonical_map)
+    if len(dec_df) > cfg.canonical_map_broadcast_max:
+        # scale fallback: sig→canonical resolved by shuffle hash joins
+        # instead of a broadcast dict (equivalence-tested; module doc)
+        sig_map = rd.from_pandas(
+            dec_df[["sig", "canonical_id"]].reset_index(drop=True))
+        edges_raw = rewrite_edges_join(triples, sig_map)
+    else:
+        canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
+        map_ref = ray.put(canonical_map)
 
-    import functools
+        import functools
 
-    edges_raw = triples.map_batches(
-        functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
-        batch_format="pyarrow", batch_size=cfg.score_batch_size,
-    )
+        edges_raw = triples.map_batches(
+            functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
+            batch_format="pyarrow", batch_size=cfg.score_batch_size,
+        )
     edges = (
         edges_raw.map_batches(_edge_key, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -692,54 +692,71 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 def shipping_priority(sf_dir: str):
     """Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) + filters +
-    grouped revenue + top-10.  Dimension chain broadcast; lineitem side
-    pre-aggregated per order inside map_batches before the tiny final
-    groupby."""
+    grouped revenue + top-10.  The customer DIMENSION broadcasts its
+    filtered key set; orders (a fact table) is never collected — it meets
+    the per-batch pre-aggregated lineitem revenue in a co-partitioned
+    shuffle hash join, per-partition group-sum + top-10, and only
+    10 × nparts candidate rows ever reach the driver."""
+    from ..stages.join import shuffle_hash_join
+    from ..stages.partition import partitioned_groupby
+
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_custs = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _pq(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    seg_ref = ray.put(seg_custs)
     cutoff = pd.Timestamp("1998-01-01")
-    sel = orders[(orders["o_custkey"].isin(seg_custs))
-                 & (orders["o_orderdate"] < cutoff)]
-    omap = dict(zip(sel["o_orderkey"], sel["o_orderdate"]))
-    ref = ray.put(omap)
 
-    class Rev:
+    class OrderFilter:
         def __init__(self):
-            self.omap = ray.get(ref)
+            self.keys = ray.get(seg_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("l_orderkey").to_pylist()
-            mask = [k in self.omap for k in keys]
-            batch = batch.filter(pa.array(mask))
-            if batch.num_rows == 0:
-                return pa.table({"l_orderkey": pa.array([], pa.int64()),
-                                 "revenue": pa.array([], pa.float64())})
-            rev = pc.multiply(batch.column("l_extendedprice"),
-                              pc.subtract(1.0, batch.column("l_discount")))
-            df = pd.DataFrame({"l_orderkey": batch.column("l_orderkey").to_pylist(),
-                               "revenue": rev.to_numpy(zero_copy_only=False)})
-            agg = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            batch = batch.filter(pc.less(batch.column("o_orderdate"),
+                                         pa.scalar(cutoff)))
+            mask = [k in self.keys for k in
+                    batch.column("o_custkey").to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_())).select(
+                ["o_orderkey", "o_orderdate"])
 
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
-                                  "l_discount", "l_shipdate"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater(t.column("l_shipdate"),
-                                      pa.scalar(pd.Timestamp("1997-01-01")))),
-        batch_format="pyarrow", zero_copy_batch=True)
-    partial = ds.map_batches(Rev, batch_format="pyarrow",
-                             concurrency=(1, 4)).to_pandas()
-    if partial.empty:
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        OrderFilter, batch_format="pyarrow", concurrency=(1, 4))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(
+            batch.column("l_shipdate"),
+            pa.scalar(pd.Timestamp("1997-01-01"))))
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(1.0, batch.column("l_discount")))
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey")
+            .to_numpy(zero_copy_only=False),
+            "revenue": rev.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = shuffle_hash_join(li, orders, on="l_orderkey",
+                               right_on="o_orderkey", nparts=32)
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["l_orderkey", "o_orderdate"],
+                         as_index=False)["revenue"].sum()
+        agg = agg.sort_values(["revenue", "l_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+        return agg.head(10)
+
+    cand = partitioned_groupby(joined, "l_orderkey", part_topk,
+                               nparts=16).to_pandas()
+    if cand.empty:
         return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "revenue"])
-    agg = partial.groupby("l_orderkey", as_index=False)["revenue"].sum()
-    agg["o_orderdate"] = agg["l_orderkey"].map(omap)
-    agg["revenue"] = agg["revenue"].round(2)
-    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
-    agg = agg.sort_values(["revenue", "o_orderkey"],
-                          ascending=[False, True]).head(10)
-    return agg[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+    cand["revenue"] = cand["revenue"].round(2)
+    cand = cand.rename(columns={"l_orderkey": "o_orderkey"})
+    cand = cand.sort_values(["revenue", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort").head(10)
+    return cand[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
 SQL_SHIPPING_PRIORITY = """

@@ -111,12 +111,20 @@ def blocked_decisions(
 ) -> rd.Dataset:
     """Co-partitioned candidate generation + scoring + per-mention reduce.
 
-    ``entities`` — KB rows; at real scale this arrives as a Dataset whose
-    tag/explode runs distributedly — the shuffle shape is identical.
+    ``entities`` — KB rows as a list OR a ``ray.data.Dataset``.  Either way
+    the KB side is exploded to (block_salted, payload) rows DISTRIBUTEDLY
+    and co-partitioned with the mention probes on ``block_salted`` (one
+    ``pad_union`` + one coarse shuffle); nothing KB-sized is ever collected
+    on or broadcast from the driver.  Hot blocks replicate their KB slice
+    into every salt shard (skew-join treatment); within a partition each
+    block's slice is deduped by id and sorted by id, the same deterministic
+    order ``_kb_lists`` gives the driver short-circuit.
 
     ``self_id_col`` — optional mention column holding the mention's own
     entity id; candidates with that id are skipped (used by the round-2
     created-vs-created dedup pass, where every mention is also in the KB)."""
+    from .join import pad_union
+
     probes = unique_mentions.map_batches(
         explode_mention_probes, batch_format="pyarrow", zero_copy_batch=True)
     # consumed twice (hot-block count pass + salted decide pass) — pin the
@@ -136,27 +144,81 @@ def blocked_decisions(
     probes = probes.map_batches(add_salt, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    # KB side: block → entity rows (dedup by id within block)
-    kb_lists = _kb_lists(entities)
+    # KB side: distributed explode to (block_salted, kb_payload) rows; the
+    # salts dict (hot blocks only, small by construction) rides in the task
+    # closure
+    if isinstance(entities, rd.Dataset):
+        ents_ds = entities
+    else:
+        ents_ds = rd.from_items([_entity_row(e) for e in entities])
 
-    import ray
+    def explode_kb(df: pd.DataFrame) -> pd.DataFrame:
+        blocks_out: list[str] = []
+        payloads: list[str] = []
+        for rec in df.to_dict("records"):
+            row = _entity_row(rec)
+            payload = json.dumps(row, ensure_ascii=False, default=str)
+            for b in entity_index_blocks(row["name"], row["aliases"],
+                                         row["type"]):
+                for s in range(salts.get(b, 1)):
+                    blocks_out.append(f"{b}#{s}")
+                    payloads.append(payload)
+        return pd.DataFrame({"block_salted": blocks_out,
+                             "kb_payload": payloads})
 
-    kb_ref = ray.put(kb_lists)
+    kb_ds = ents_ds.map_batches(explode_kb, batch_format="pandas")
+
+    # probes is materialized (schema free); kb_ds is lazy — pass its schema
+    # explicitly so pad_union never executes the explode just to peek
+    both = pad_union(probes, kb_ds,
+                     b_types={"block_salted": pa.string(),
+                              "kb_payload": pa.string()})
     _local: dict[str, object] = {}
 
     def decide_block(df: pd.DataFrame) -> pd.DataFrame:
         # one partition holds many (salted) blocks; encoder + per-block KB
-        # indexes cached per worker process
-        if "kb" not in _local:
-            _local["kb"] = ray.get(kb_ref)
+        # indexes cached per worker process (keyed by block + member ids)
+        if "enc" not in _local:
             _local["enc"] = make_encoder(cfg.encoder, cfg.embedding_dim)
             _local["kbcache"] = {}
-        return _decide_partition(df, _local["kb"], _local["enc"],
+        kbp = df[df["_side"] == 1]
+        kb_all: dict[str, list[dict]] = {}
+        for bs, g in kbp.groupby("block_salted", sort=False):
+            block = bs.rsplit("#", 1)[0]
+            by_id = {}
+            for pay in g["kb_payload"]:
+                row = json.loads(pay)
+                by_id.setdefault(row["id"], row)
+            # deterministic order (id asc) regardless of arrival order —
+            # matches _kb_lists so the driver short-circuit agrees exactly
+            kb_all[block] = [by_id[i] for i in sorted(by_id)]
+        pdf = df[df["_side"] == 0].drop(columns=["_side", "kb_payload"])
+        return _decide_partition(pdf, kb_all, _local["enc"],
                                  _local["kbcache"], cfg, self_id_col)
 
-    per_block = partitioned_groupby(probes, "block_salted", decide_block,
+    per_block = partitioned_groupby(both, "block_salted", decide_block,
                                     nparts=nparts)
     return partitioned_groupby(per_block, "sig", _reduce_best, nparts=16)
+
+
+def _entity_row(e) -> dict:
+    row = dict(e) if isinstance(e, dict) else {
+        "id": e.id, "name": e.name, "type": e.type,
+        "aliases": list(e.aliases), "definition": e.definition,
+        "attributes": e.attributes, "source": e.source,
+        "create_time": e.create_time,
+    }
+    al = row.get("aliases")
+    if isinstance(al, str):
+        row["aliases"] = json.loads(al) if al else []
+    elif al is None:
+        row["aliases"] = []
+    else:
+        row["aliases"] = list(al)
+    ct = row.get("create_time")
+    if ct is not None and not isinstance(ct, str):
+        row["create_time"] = str(ct)
+    return row
 
 
 def _decide_partition(df: pd.DataFrame, kb_all: dict, enc, kbcache: dict,
@@ -243,15 +305,12 @@ def _reduce_best(df: pd.DataFrame) -> pd.DataFrame:
 def _kb_lists(entities: list) -> dict[str, list[dict]]:
     kb_by_block: dict[str, dict[str, dict]] = {}
     for e in entities:
-        row = e if isinstance(e, dict) else {
-            "id": e.id, "name": e.name, "type": e.type,
-            "aliases": list(e.aliases), "definition": e.definition,
-            "attributes": e.attributes, "source": e.source,
-            "create_time": e.create_time,
-        }
+        row = _entity_row(e)
         for b in entity_index_blocks(row["name"], row["aliases"], row["type"]):
             kb_by_block.setdefault(b, {})[row["id"]] = row
-    return {b: list(d.values()) for b, d in kb_by_block.items()}
+    # id-sorted: the same deterministic per-block order the distributed
+    # explode reconstructs, so local and distributed paths agree exactly
+    return {b: [d[i] for i in sorted(d)] for b, d in kb_by_block.items()}
 
 
 def blocked_decisions_local(

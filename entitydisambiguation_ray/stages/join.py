@@ -88,6 +88,48 @@ def _arrow_types(ds: rd.Dataset) -> dict[str, pa.DataType]:
     return out
 
 
+def pad_union(a: rd.Dataset, b: rd.Dataset,
+              side_col: str = "_side",
+              a_types: dict[str, pa.DataType] | None = None,
+              b_types: dict[str, pa.DataType] | None = None) -> rd.Dataset:
+    """Union two Datasets with different columns under the padded union
+    schema, tagging every row with the side it came from (0=a, 1=b) — the
+    cogroup building block: follow with a keyed coarse shuffle and split
+    sides inside the per-partition kernel.  Columns present on both sides
+    must have compatible types (cast to a's); missing cells are padded with
+    zero values (never nulls — see ``_pad_array``).
+
+    ``a_types`` / ``b_types``: optional explicit schemas.  IMPORTANT for
+    lazy inputs: ``Dataset.schema()`` on an unexecuted lineage runs it (and
+    the downstream union runs it AGAIN) — callers that know the schema
+    statically should pass it."""
+    at = a_types or _arrow_types(a)
+    bt = b_types or _arrow_types(b)
+    unified = list(at.items()) + [(n, t) for n, t in bt.items()
+                                  if n not in at]
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in unified:
+                if name in batch.column_names:
+                    col = batch.column(name)
+                    if col.type != typ:
+                        col = col.cast(typ)
+                    cols[name] = col
+                else:
+                    cols[name] = _pad_array(n, typ)
+            out = pa.table(cols)
+            return out.append_column(
+                side_col, pa.array(np.full(n, side, dtype=np.int8)))
+
+        return f
+
+    return a.map_batches(prep(0), batch_format="pyarrow").union(
+        b.map_batches(prep(1), batch_format="pyarrow"))
+
+
 def shuffle_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -97,6 +139,8 @@ def shuffle_hash_join(
     how: str = "inner",
     nparts: int = 64,
     rsuffix: str = "_r",
+    ltypes: dict[str, pa.DataType] | None = None,
+    rtypes: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     """Distributed equi-join of two Datasets on ``on`` (= ``right_on`` on
     the right side when the key columns are named differently).
@@ -104,7 +148,13 @@ def shuffle_hash_join(
     Output columns: all left columns, then right value columns (renamed
     with ``rsuffix`` on collision with a left name).  ``nparts`` bounds
     per-partition memory at ``(|L| + |R|) / nparts`` rows — scale it with
-    input size, not cluster size."""
+    input size, not cluster size.
+
+    ``ltypes`` / ``rtypes``: optional explicit schemas (name → pyarrow
+    type, insertion-ordered).  IMPORTANT for lazy inputs: when omitted they
+    come from ``Dataset.schema()``, which EXECUTES an unexecuted lineage —
+    and the join itself then executes it again.  Callers that know the
+    schema statically (or chain joins) should always pass these."""
     if how not in _HOW:
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
     lkeys = [on] if isinstance(on, str) else list(on)
@@ -113,8 +163,8 @@ def shuffle_hash_join(
     if len(lkeys) != len(rkeys):
         raise ValueError("on / right_on length mismatch")
 
-    ltypes = _arrow_types(left)
-    rtypes = _arrow_types(right)
+    ltypes = ltypes or _arrow_types(left)
+    rtypes = rtypes or _arrow_types(right)
     lnames, rnames = list(ltypes), list(rtypes)
     for k in lkeys:
         if k not in ltypes:

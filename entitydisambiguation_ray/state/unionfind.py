@@ -58,67 +58,118 @@ def driver_components(edges: list[tuple[str, str]]) -> dict[str, str]:
 
 def distributed_components(edges_ds, nparts: int = 64, max_rounds: int = 50):
     """Min-label propagation over an edges Dataset (columns ``a``, ``b``) →
-    pandas DataFrame (node, canonical).
+    Dataset (node, canonical) — fully Dataset-resident: labels live as a
+    Dataset, edges are relabeled via co-partitioned shuffle hash joins, and
+    the driver only ever sees per-round convergence COUNTS (never a label
+    map or an edge list).  Converges in O(log n) rounds; each round is one
+    keyed min-aggregation plus two keyed joins.
 
-    Each round: emit (node, min neighbor-or-self label), aggregate min per
-    node via coarse hash partitions, re-label edges, repeat until no label
-    changes.  Keyed shuffles only; no driver-side edge materialization."""
+    Small edge lists should use the driver ``UnionFind`` instead — each
+    distributed round costs several Ray executions of fixed latency."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    from ..stages.join import shuffle_hash_join
     from ..stages.partition import partitioned_groupby
 
-    # label(node) starts as node itself; edges propagate min labels
-    labels = None  # Dataset (node, label)
-    cur = edges_ds
+    def emit(batch: pa.Table) -> pa.Table:
+        # each edge proposes min(a, b) as the label of BOTH endpoints
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        lab = np.minimum(a, b)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.string()),
+            "label": pa.array(np.concatenate([lab, lab]), pa.string()),
+        })
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
+
+    def relabel_endpoint(col: str):
+        """Replace edge endpoint ``col`` by its label via one shuffle join
+        (every endpoint has a label row by construction → inner join)."""
+        def fix(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c) for c in ("a", "b")}
+            cols[col] = batch.column("label")
+            return pa.table(cols)
+
+        return fix
+
+    def drop_selfloops(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.equal(batch.column("a"),
+                                               batch.column("b"))))
+
+    # NB: every per-round materialize is preceded by repartition(nparts) —
+    # sort-based shuffles emit ~one block per input block, so without the
+    # rebound the block count TRIPLES per round and per-task overhead
+    # dominates (measured 79→237→711 blocks, 40 s rounds on 80 edges).
+    labs = []  # one (node, label) Dataset per round; composed ONCE at the end
+    cur = edges_ds.map_batches(drop_selfloops, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .repartition(nparts).materialize()
     for _ in range(max_rounds):
-        def emit(batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_pylist()
-            b = batch.column("b").to_pylist()
-            labs = [min(x, y) for x, y in zip(a, b)]
-            # each edge propagates its min label to BOTH endpoints
-            return pa.table({"node": pa.array(a + b, pa.string()),
-                             "label": pa.array(labs + labs, pa.string())})
-
-        prop = cur.map_batches(emit, batch_format="pyarrow")
-
-        def min_label(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("node", as_index=False)["label"].min()
-
-        new_labels = partitioned_groupby(prop, "node", min_label,
-                                         nparts=nparts).materialize()
-        lab_map = {r["node"]: r["label"] for r in new_labels.iter_rows()}
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            a = [lab_map.get(x, x) for x in batch.column("a").to_pylist()]
-            b = [lab_map.get(x, x) for x in batch.column("b").to_pylist()]
-            keep_a, keep_b = [], []
-            for x, y in zip(a, b):
-                if x != y:
-                    keep_a.append(x)
-                    keep_b.append(y)
-            return pa.table({"a": pa.array(keep_a, pa.string()),
-                             "b": pa.array(keep_b, pa.string())})
-
-        nxt = cur.map_batches(relabel, batch_format="pyarrow").materialize()
-        if labels is None:
-            labels = lab_map
-        else:
-            labels = {n: lab_map.get(l, l) for n, l in labels.items()}
-            for n, l in lab_map.items():
-                labels.setdefault(n, l)
-        if nxt.count() == 0:
+        if cur.count() == 0:
             break
-        cur = nxt
-    out = pd.DataFrame({"node": list(labels), "canonical": list(labels.values())})
-    # final compression: labels may point at non-root intermediates
-    m = dict(zip(out["node"], out["canonical"]))
-    def root(x):
-        seen = []
-        while m.get(x, x) != x:
-            seen.append(x)
-            x = m[x]
-        for s in seen:
-            m[s] = x
-        return x
-    out["canonical"] = [root(n) for n in out["node"]]
-    return out
+        prop = cur.map_batches(emit, batch_format="pyarrow")
+        lab = partitioned_groupby(prop, "node", min_label,
+                                  nparts=nparts).repartition(nparts) \
+            .materialize()
+        labs.append(lab)
+        # relabel both endpoints through `lab`, drop converged edges
+        # (schemas passed explicitly: schema() on the lazy chain between
+        # the two joins would re-execute the first one)
+        e_types = {"a": pa.string(), "b": pa.string()}
+        l_types = {"node": pa.string(), "label": pa.string()}
+        nxt = shuffle_hash_join(cur, lab, on="a", right_on="node",
+                                nparts=nparts, ltypes=e_types,
+                                rtypes=l_types)
+        nxt = nxt.map_batches(relabel_endpoint("a"), batch_format="pyarrow")
+        nxt = shuffle_hash_join(nxt, lab, on="b", right_on="node",
+                                nparts=nparts, ltypes=e_types,
+                                rtypes=l_types)
+        nxt = nxt.map_batches(relabel_endpoint("b"), batch_format="pyarrow")
+        cur = nxt.map_batches(drop_selfloops, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .repartition(nparts).materialize()
+    if not labs:  # no edges at all
+        import ray.data as rd
+
+        return rd.from_items([])
+    # Compose all rounds in one pass: round r's map is defined on round
+    # r-1's labels (which are themselves node ids), so the union of all
+    # round maps + per-node MIN gives every node its best-known label, and
+    # pointer jumping below resolves the label→label chains to roots.
+    allmaps = labs[0] if len(labs) == 1 else labs[0].union(*labs[1:])
+    labels = partitioned_groupby(allmaps, "node", min_label, nparts=nparts)
+    labels = labels.map_batches(
+        lambda t: t.rename_columns(["node", "canonical"]),
+        batch_format="pyarrow").repartition(nparts)
+    # final pointer-jump compression: a canonical may still point at a
+    # non-root intermediate; resolve by repeated self-join until stable
+    for _ in range(max_rounds):
+        labels = labels.materialize()
+        j = shuffle_hash_join(
+            labels, labels, on="canonical", right_on="node",
+            nparts=nparts, how="left")
+        # j: node, canonical, canonical_r (= label of canonical, or null)
+
+        def jump(batch: pa.Table) -> pa.Table:
+            cur_c = batch.column("canonical")
+            nxt_c = batch.column("canonical_r")
+            new_c = pc.if_else(pc.is_null(nxt_c), cur_c, nxt_c)
+            chg = pc.cast(pc.invert(pc.equal(new_c, cur_c)), pa.int64())
+            return pa.table({"node": batch.column("node"),
+                             "canonical": new_c, "chg": chg})
+
+        j = j.map_batches(jump, batch_format="pyarrow") \
+            .repartition(nparts).materialize()
+        # convergence = COUNT of changed rows (count() never collects rows
+        # to the driver, unlike Dataset.sum which fetches via take)
+        changed = j.map_batches(
+            lambda t: t.filter(pc.equal(t.column("chg"), 1)),
+            batch_format="pyarrow", zero_copy_batch=True).count()
+        labels = j.drop_columns(["chg"])
+        if not changed:
+            break
+    return labels

@@ -192,6 +192,37 @@ def test_embedding_neardup_lsh_finds_planted_pair(ray_session):
     assert (3, 7) in pairs
 
 
+def test_ivf_trained_centroids_recall(ray_session):
+    """kmeans_fit + ivf_topk: on a clustered corpus, trained coarse
+    centroids give high recall@k vs exact while scanning a fraction."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.ann import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    centers = rng.standard_normal((6, 24)) * 3
+    mat = np.vstack([c + rng.standard_normal((60, 24)) for c in centers])
+    ds = rd.from_items([{"vec_id": i, "embedding": mat[i].tolist()}
+                        for i in range(len(mat))])
+    q = mat[[0, 100, 250]]
+    cents = kmeans_fit(ds, "embedding", n_centroids=6, iters=4)
+    assert cents.shape == (6, 24)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    exact = brute_force_topk(ds, "vec_id", "embedding", q, k=10)
+    approx = ivf_topk(ds, "vec_id", "embedding", q, k=10, n_probe=2,
+                      centroids=cents)
+    recalls = []
+    for qi in range(3):
+        e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+        a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
 def test_hyperloglog_accuracy(ray_session):
     """HLL sketch within ~2% of exact distinct count; merge associative."""
     import ray.data as rd

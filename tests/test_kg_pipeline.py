@@ -67,6 +67,23 @@ def test_parallelism_invariance(ray_session, kg_result):
     assert s1 == s2
 
 
+def test_canonical_join_rewrite_matches_broadcast(ray_session, kg_result):
+    """Forcing the sig→canonical shuffle-join fallback (broadcast_max=0)
+    must yield byte-identical canonical edges to the broadcast rewriter."""
+    from entitydisambiguation_ray.config import EngineConfig
+
+    pages = synth_pages_dataset(N_PAGES, seed=42)
+    out2 = run_kg_pipeline(pages,
+                           cfg=EngineConfig(canonical_map_broadcast_max=0))
+    e1 = (kg_result["edges"].to_pandas()
+          .sort_values(["src_id", "dst_id", "rel_type"])
+          .reset_index(drop=True))
+    e2 = (out2["edges"].to_pandas()
+          .sort_values(["src_id", "dst_id", "rel_type"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(e1, e2)
+
+
 def test_write_graph_outputs(ray_session, kg_result, tmp_path):
     import ray.data as rd
 

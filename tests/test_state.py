@@ -45,8 +45,44 @@ def test_distributed_components_matches_driver(ray_session):
     edges = [(a, b) for a, b in edges if a != b]
     gold = driver_components(edges)
     ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
-    out = distributed_components(ds, nparts=8)
+    out = distributed_components(ds, nparts=8).to_pandas()
     got = dict(zip(out["node"], out["canonical"]))
+    for n, c in gold.items():
+        assert got[n] == c, n
+
+
+def test_distributed_components_driver_free(ray_session, monkeypatch):
+    """The Dataset-resident path must never collect labels or edges to the
+    driver: to_pandas / iter_rows / take_all are poisoned for the duration
+    of the call.  Graph shaped to need several propagation rounds."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.state.unionfind import distributed_components
+
+    rng = random.Random(7)
+    edges = []
+    # chains of length 8 (multi-round convergence) + random extra edges
+    for c in range(20):
+        ns = [f"c{c:02d}x{i:02d}" for i in range(8)]
+        edges += list(zip(ns, ns[1:]))
+    nodes = [a for a, _ in edges]
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    gold = driver_components(edges)
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+
+    def poisoned(self, *a, **k):
+        raise AssertionError("driver-side collect inside "
+                             "distributed_components")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", poisoned)
+    monkeypatch.setattr(rd.Dataset, "iter_rows", poisoned)
+    monkeypatch.setattr(rd.Dataset, "take_all", poisoned)
+    out_ds = distributed_components(ds, nparts=8)
+    monkeypatch.undo()
+    out = out_ds.to_pandas()
+    got = dict(zip(out["node"], out["canonical"]))
+    assert len(got) == len(gold)
     for n, c in gold.items():
         assert got[n] == c, n
 
