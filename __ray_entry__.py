@@ -241,6 +241,19 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, "doc_id", "text").sort(["id_a", "id_b"])
 
 
+def _q_minhash_dedup(sf_dir: str):
+    """Near-dup collapse: LSH pairs → Dataset-resident connected components
+    → (doc_id, canonical_id) for clustered docs (rows-only)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import minhash_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return minhash_dedup(ds, "doc_id", "text", threshold=0.5).sort("doc_id")
+
+
 def _q_embedding_neardup(sf_dir: str):
     _quiet()
     import ray.data as rd
@@ -467,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_stats": R.segment_stats,
         # text analysis (SQL-checked)
         "token_count": _q_token_count,
+        "token_freq": R.token_freq,
         "quality_score": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -474,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,          # rows-only
         "simhash_pairs": _q_simhash_pairs,          # rows-only
+        "minhash_dedup": _q_minhash_dedup,          # rows-only (components)
         "embedding_neardup": _q_embedding_neardup,  # SQL-checked
         # similarity search
         "ann_topk": _q_ann_topk,                    # SQL-checked
@@ -524,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": R.SQL_SHIPPING_PRIORITY,
         "segment_stats": R.SQL_SEGMENT_STATS,
         "token_count": SQL_TOKEN_COUNT,
+        "token_freq": R.SQL_TOKEN_FREQ,
         "quality_score": SQL_QUALITY,
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,

@@ -342,3 +342,46 @@ def embedding_neardup_lsh(
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return embedding_neardup_pairs(tagged, id_col, vec_col, "lsh_bucket",
                                    threshold=threshold)
+
+
+def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
+                  *, threshold: float = 0.5, nparts: int = 16) -> rd.Dataset:
+    """End-to-end near-duplicate COLLAPSE: MinHash+LSH verified pairs →
+    transitive closure (``state.unionfind.distributed_components``, fully
+    Dataset-resident) → (doc_id, canonical_id) mapping for every doc in a
+    near-dup cluster (canonical = smallest member id).  Docs not returned
+    are singletons (their canonical is themselves) — emitting only cluster
+    members keeps the output near-dup-mass-sized, not corpus-sized."""
+    import pyarrow.compute as pc2
+
+    from ..stages.join import _arrow_types
+    from ..state.unionfind import distributed_components
+
+    idt = _arrow_types(ds.select_columns([id_col]))[id_col]
+    int_ids = pa.types.is_integer(idt)
+
+    pairs = minhash_lsh_pairs(ds, id_col, text_col, threshold=threshold)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        # union-find nodes are strings (min-label order is lexicographic);
+        # zero-pad int ids so lexicographic == numeric order
+        a = pc2.cast(batch.column("id_a"), pa.string())
+        b = pc2.cast(batch.column("id_b"), pa.string())
+        if int_ids:
+            a = pc2.utf8_lpad(a, 20, "0")
+            b = pc2.utf8_lpad(b, 20, "0")
+        return pa.table({"a": a, "b": b})
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    comps = distributed_components(edges, nparts=nparts)
+
+    def unpad(batch: pa.Table) -> pa.Table:
+        node, canon = batch.column("node"), batch.column("canonical")
+        if int_ids:
+            node = pc2.cast(node, pa.int64())
+            canon = pc2.cast(canon, pa.int64())
+        return pa.table({"doc_id": node, "canonical_id": canon})
+
+    return comps.map_batches(unpad, batch_format="pyarrow",
+                             zero_copy_batch=True)

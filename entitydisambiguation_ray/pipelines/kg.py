@@ -434,17 +434,23 @@ def round2_canonicalize(dec_df: pd.DataFrame,
     from ..functions.encoder import make_encoder
 
     enc = make_encoder(cfg.encoder, cfg.embedding_dim)
-    kb_vec_cache: dict[int, object] = {}
     bge_floor = bge_prefilter_floor(cfg)
+    # lazily-filled KB matrix: rows encode in BATCHES the first time they
+    # appear in any candidate set (never-candidate rows never encode), and
+    # per-mention bges are one fancy-indexed matmul — both the eager
+    # whole-KB encode and the per-row python cache assembly measured
+    # slower at 400k pages
+    kb_texts = [_etext(r["name"], r["aliases"], r["definition"],
+                       r["attributes"]) for r in kb_rows]
+    kb_mat = np.zeros((len(kb_rows), cfg.embedding_dim), dtype=np.float32)
+    kb_encoded = np.zeros(len(kb_rows), dtype=bool)
+    kb_toksets = [set(rt.split()) for rt in kb_rtexts]
 
-    def kb_vec(k: int):
-        v = kb_vec_cache.get(k)
-        if v is None:
-            row = kb_rows[k]
-            v = enc.encode([_etext(row["name"], row["aliases"],
-                                   row["definition"], row["attributes"])])[0]
-            kb_vec_cache[k] = v
-        return v
+    def ensure_encoded(ks: np.ndarray) -> None:
+        new = ks[~kb_encoded[ks]]
+        if len(new):
+            kb_mat[new] = enc.encode([kb_texts[i] for i in new])
+            kb_encoded[new] = True
 
     kb_idx_of = {row["id"]: k for k, row in enumerate(kb_rows)}
     all_ids = set(range(len(kb_rows)))
@@ -452,13 +458,18 @@ def round2_canonicalize(dec_df: pd.DataFrame,
     m_cols = [cand[c].tolist() for c in
               ("name", "type", "aliases_json", "definition", "attributes",
                "canonical_id")]
+    from ..functions.scoring import type_multiplier
+
+    w_b, w_c, w_f, w_l = cfg.weights()
+    ce_exact = cfg.reranker != "cross_encoder"  # hash_ce == jaccard; none == 0
     for name, mtype, aliases_json, definition, attributes, self_id in zip(
             *m_cols):
         aliases = json.loads(aliases_json)
         rtext = _rtext(name, aliases, definition)
+        mtoks = set(rtext.split())
         if prune_ok:
             cand_ids: set[int] = set()
-            for t in set(rtext.split()):
+            for t in mtoks:
                 ids = tok_index.get(t, ())
                 if t in hot_df:
                     dropped_pair_mass += len(ids)
@@ -471,14 +482,32 @@ def round2_canonicalize(dec_df: pd.DataFrame,
             continue
         # embed lazily: only mentions with surviving candidates pay it
         mvec = enc.encode([_etext(name, aliases, definition, attributes)])[0]
-        ks = sorted(cand_ids)
-        # vectorized bge prefilter: the string cascade runs only for pairs
-        # whose score could still reach high_threshold
-        bges = np.asarray([kb_vec(k) for k in ks]) @ mvec
-        for k, bge in zip(ks, bges):
-            if bge < bge_floor:
-                continue
+        ks = np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids))
+        ks.sort()
+        ensure_encoded(ks)
+        # tiered EXACT prefilters — each bounds the max achievable final
+        # score; the expensive fuzz/lev string cascade runs only for pairs
+        # that could still reach high_threshold:
+        #   tier 1 (vectorized): bge floor with ce/fuzz/lev at their max
+        #   tier 2: the pair's actual type multiplier
+        #   tier 3: the pair's actual ce (token jaccard == hash_ce; 0 for
+        #           reranker="none"; skipped for a real CE, unbounded)
+        bges = kb_mat[ks] @ mvec
+        keep = bges >= bge_floor
+        for k, bge in zip(ks[keep], bges[keep]):
             row = kb_rows[k]
+            mult = type_multiplier(mtype, row["type"], cfg)
+            if (w_b * bge + w_c + w_f + w_l) * mult < cfg.high_threshold:
+                continue
+            if ce_exact:
+                kt = kb_toksets[k]
+                un = len(mtoks | kt)
+                ce = (len(mtoks & kt) / un) if un else 0.0
+                if cfg.reranker == "none":
+                    ce = 0.0
+                if (w_b * bge + w_c * ce + w_f + w_l) * mult \
+                        < cfg.high_threshold:
+                    continue
             s = comprehensive_score(
                 name, aliases, mtype, rtext,
                 row["name"], row["aliases"], row["type"],

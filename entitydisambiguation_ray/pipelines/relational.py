@@ -774,6 +774,52 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------- corpus vocabulary heavy hitters
+
+def token_freq(sf_dir: str):
+    """Top-50 most frequent tokens across the corpus (training-data
+    vocabulary stats): per-batch Counter combiner → keyed groupby sum →
+    per-block partial top-k → tiny driver merge (only 50 × n_blocks
+    candidate rows ever reach the driver)."""
+    import re
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    tok_re = re.compile(r"\S+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok_re.findall(t))
+        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    agg = counts.groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "tok"], ascending=[False, True],
+                              kind="mergesort").head(50)
+
+    cand = agg.map_batches(block_topk, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    top = cand.sort_values(["cnt", "tok"], ascending=[False, True],
+                           kind="mergesort").head(50)
+    top["cnt"] = top["cnt"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+SQL_TOKEN_FREQ = r"""
+SELECT tok, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
+"""
+
+
 # --------------------------------------------------------------- per-segment stats
 
 def segment_stats(sf_dir: str):

@@ -174,8 +174,14 @@ def distributed_round2_edges(
                                 zip(kids, kb["payload"])])
             pvecs = np.asarray([vec_of(i, p) for i, p in
                                 zip(pids, pr["payload"])])
-            # vectorized prefilter: only pairs whose bge could still reach
-            # high_threshold get the string cascade
+            # tiered EXACT prefilters (same algebra as the driver round-2):
+            # vectorized bge floor, then the pair's type multiplier, then
+            # its actual ce (token jaccard) — the fuzz/lev cascade runs
+            # only for pairs that could still reach high_threshold
+            from ..functions.scoring import type_multiplier
+
+            w_b, w_c, w_f, w_l = cfg.weights()
+            ce_exact = cfg.reranker != "cross_encoder"
             bges = pvecs @ kvecs.T
             for i, j in np.argwhere(bges >= bge_floor):
                 pid, kid = pids[i], kids[j]
@@ -184,10 +190,31 @@ def distributed_round2_edges(
                 seen.add((pid, kid))
                 m = parsed(pid, pr["payload"].iloc[i])
                 e = parsed(kid, kb["payload"].iloc[j])
+                bge = float(bges[i, j])
+                mult = type_multiplier(m["type"], e["type"], cfg)
+                if (w_b * bge + w_c + w_f + w_l) * mult \
+                        < cfg.high_threshold:
+                    continue
+                if ce_exact:
+                    mt = m.get("_toks")
+                    if mt is None:
+                        mt = set(m["rtext"].split())
+                        m["_toks"] = mt
+                    et = e.get("_toks")
+                    if et is None:
+                        et = set(e["rtext"].split())
+                        e["_toks"] = et
+                    un = len(mt | et)
+                    ce = (len(mt & et) / un) if un else 0.0
+                    if cfg.reranker == "none":
+                        ce = 0.0
+                    if (w_b * bge + w_c * ce + w_f + w_l) * mult \
+                            < cfg.high_threshold:
+                        continue
                 s = comprehensive_score(
                     m["name"], m["aliases"], m["type"], m["rtext"],
                     e["name"], e["aliases"], e["type"], e["rtext"],
-                    float(bges[i, j]), cfg)
+                    bge, cfg)
                 if s.final_score >= cfg.high_threshold:
                     out.append((pid, kid))
         if dropped:

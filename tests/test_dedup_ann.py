@@ -192,6 +192,33 @@ def test_embedding_neardup_lsh_finds_planted_pair(ray_session):
     assert (3, 7) in pairs
 
 
+def test_minhash_dedup_components(ray_session):
+    """Pairs → transitive closure: planted dup clusters collapse to their
+    smallest member; unrelated docs never appear."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import minhash_dedup
+
+    base_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    base_b = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen ") * 4
+    rows = []
+    for i in range(4):                       # cluster A: docs 0-3
+        rows.append({"doc_id": i, "text": base_a})
+    for i in range(4, 7):                    # cluster B: docs 4-6
+        rows.append({"doc_id": i, "text": base_b})
+    for i in range(7, 15):                   # singletons
+        rows.append({"doc_id": i, "text": f"unique words {i} " * 40})
+    out = minhash_dedup(rd.from_items(rows), "doc_id", "text",
+                        threshold=0.5, nparts=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(4, 7)} == {4}
+    assert not any(i in got for i in range(7, 15))
+    assert out["doc_id"].dtype == "int64"
+
+
 def test_ivf_trained_centroids_recall(ray_session):
     """kmeans_fit + ivf_topk: on a clustered corpus, trained coarse
     centroids give high recall@k vs exact while scanning a fraction."""
