@@ -36,9 +36,32 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .partition import hash_partition_ids
+from .partition import hash_key_rows, hash_partition_ids
 
 _HOW = ("inner", "left", "semi", "anti")
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def count_hot_keys(ds: rd.Dataset, key: str, threshold: int,
+                   salt_max: int = 16) -> dict:
+    """Pre-pass for ``shuffle_hash_join(salt_hot=...)``: per-batch count
+    combiner → keyed sum → {key_value: n_salt} for keys whose LEFT-side row
+    count exceeds ``threshold``.  The returned dict is hot-keys-only
+    (bounded by skew, not cardinality) and rides in task closures."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.group_by(key).aggregate([(key, "count")])
+        return tbl.rename_columns([key, "n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas())
+    hot = counts.loc[counts["n"] > threshold]
+    return {k: int(min(salt_max, math.ceil(n / threshold)))
+            for k, n in zip(hot[key], hot["n"])}
 
 
 def _pad_array(n: int, typ: pa.DataType) -> pa.Array:
@@ -141,6 +164,7 @@ def shuffle_hash_join(
     rsuffix: str = "_r",
     ltypes: dict[str, pa.DataType] | None = None,
     rtypes: dict[str, pa.DataType] | None = None,
+    salt_hot: dict | None = None,
 ) -> rd.Dataset:
     """Distributed equi-join of two Datasets on ``on`` (= ``right_on`` on
     the right side when the key columns are named differently).
@@ -154,9 +178,18 @@ def shuffle_hash_join(
     type, insertion-ordered).  IMPORTANT for lazy inputs: when omitted they
     come from ``Dataset.schema()``, which EXECUTES an unexecuted lineage —
     and the join itself then executes it again.  Callers that know the
-    schema statically (or chain joins) should always pass these."""
+    schema statically (or chain joins) should always pass these.
+
+    ``salt_hot``: explicit skew handling — {key_value: n_salt} from
+    ``count_hot_keys``.  A hot key's LEFT rows spread over ``n_salt``
+    sub-partitions while its RIGHT rows replicate into every sub-partition
+    (the classic replicate-small-side skew-join treatment); results are
+    identical, only placement changes.  Single-column keys only."""
     if how not in _HOW:
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
+    if salt_hot and (not isinstance(on, str) or
+                     (right_on is not None and not isinstance(right_on, str))):
+        raise ValueError("salt_hot supports single-column keys only")
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = (lkeys if right_on is None
              else [right_on] if isinstance(right_on, str) else list(right_on))
@@ -220,7 +253,25 @@ def shuffle_hash_join(
                 else:
                     arrays.append(_pad_array(n, typ))
             out = pa.table(dict(zip(names, arrays)))
-            part = hash_partition_ids(out, lkeys, nparts)
+            if salt_hot:
+                kvals = out.column(lkeys[0]).to_pandas()
+                ksalt = kvals.map(salt_hot).fillna(1).to_numpy(dtype=np.int64)
+                if side == 1 and (ksalt > 1).any():
+                    # replicate hot-key right rows into every salt shard
+                    idx = np.repeat(np.arange(n), ksalt)
+                    out = out.take(pa.array(idx))
+                    starts = np.repeat(np.cumsum(ksalt) - ksalt, ksalt)
+                    salts = np.arange(len(idx)) - starts
+                    n = len(idx)
+                else:
+                    # spread hot-key left rows across their salt shards
+                    # (assignment is placement-only: any spread is correct)
+                    salts = np.arange(n) % np.maximum(ksalt, 1)
+                raw = hash_key_rows(out, lkeys)
+                part = ((raw + salts.astype(np.uint64) * _SALT_MIX)
+                        % nparts).astype("int32")
+            else:
+                part = hash_partition_ids(out, lkeys, nparts)
             out = out.append_column(
                 "_side", pa.array(np.full(n, side, dtype=np.int8)))
             return out.append_column("_part", pa.array(part))

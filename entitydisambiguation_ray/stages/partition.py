@@ -25,13 +25,17 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def hash_partition_ids(batch: pa.Table, keys: list[str],
-                       nparts: int) -> np.ndarray:
-    """Vectorized deterministic partition id per row over one or more key
+def hash_key_rows(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Vectorized deterministic 64-bit row hash over one or more key
     columns (multi-column keys are row-hashed jointly)."""
     keydf = batch.select(keys).to_pandas()
-    h = pd.util.hash_pandas_object(keydf, index=False).to_numpy()
-    return (h % nparts).astype("int32")
+    return pd.util.hash_pandas_object(keydf, index=False).to_numpy()
+
+
+def hash_partition_ids(batch: pa.Table, keys: list[str],
+                       nparts: int) -> np.ndarray:
+    """Vectorized deterministic partition id per row."""
+    return (hash_key_rows(batch, keys) % nparts).astype("int32")
 
 
 def add_partition_column(batch: pa.Table, key: str, nparts: int,

@@ -87,6 +87,42 @@ def test_multicolumn_key_and_string_key(ray_session):
     pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols))
 
 
+def test_salted_skew_join_matches_pandas(ray_session):
+    """Explicit skew salting: hot-key left rows spread over salt shards,
+    right rows replicated — identical results, count_hot_keys finds the
+    skew."""
+    from entitydisambiguation_ray.stages.join import count_hot_keys
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 20000
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 500, n))
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n)})
+    # keys 400-499 intentionally uncovered so the anti join is nonempty
+    right = pd.DataFrame({"rk": np.arange(0, 400),
+                          "rv": np.arange(0, 400) * 10})
+    # give the hot key several right rows (replication correctness)
+    right = pd.concat([right, pd.DataFrame({"rk": [7, 7], "rv": [71, 72]})],
+                      ignore_index=True)
+    lds = rd.from_pandas(left)
+    hot = count_hot_keys(lds, "k", threshold=1000)
+    assert 7 in hot and hot[7] > 1
+    got = shuffle_hash_join(lds, rd.from_pandas(right), on="k",
+                            right_on="rk", nparts=16,
+                            salt_hot=hot).to_pandas()
+    exp = left.merge(right.rename(columns={"rk": "k"}), on="k")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols))
+    # semi/anti under salting
+    semi = shuffle_hash_join(lds, rd.from_pandas(right), on="k",
+                             right_on="rk", how="semi", nparts=16,
+                             salt_hot=hot).to_pandas()
+    anti = shuffle_hash_join(lds, rd.from_pandas(right), on="k",
+                             right_on="rk", how="anti", nparts=16,
+                             salt_hot=hot).to_pandas()
+    assert len(semi) + len(anti) == len(left)
+    assert not set(anti["k"]) & set(right["rk"])
+
+
 def test_key_type_coercion(ray_session):
     """int32 right key joins against int64 left key (cast at prep)."""
     left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
