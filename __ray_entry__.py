@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.semi_join,
         "anti_join": R.anti_join,
         "count_distinct": R.count_distinct,
+        "price_quantiles": R.price_quantiles,
+        "dataset_split": R.dataset_split,
         "approx_distinct": _q_approx_distinct,       # rows-only (HLL sketch)
         "shipping_priority": R.shipping_priority,
         "segment_stats": R.segment_stats,
@@ -536,6 +538,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": R.SQL_SEMI_JOIN,
         "anti_join": R.SQL_ANTI_JOIN,
         "count_distinct": R.SQL_COUNT_DISTINCT,
+        "price_quantiles": R.SQL_PRICE_QUANTILES,
+        "dataset_split": R.SQL_DATASET_SPLIT,
         "shipping_priority": R.SQL_SHIPPING_PRIORITY,
         "segment_stats": R.SQL_SEGMENT_STATS,
         "token_count": SQL_TOKEN_COUNT,

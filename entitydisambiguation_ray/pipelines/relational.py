@@ -774,6 +774,71 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------- grouped quantiles
+
+def price_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median / p90 of extended price per return
+    flag): group count is tiny and fixed, so one keyed shuffle +
+    numpy linear-interpolation percentile per group (identical
+    interpolation to SQL percentile_cont)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = g["l_extendedprice"].to_numpy()
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "p50": [round(float(np.percentile(v, 50)), 2)],
+            "p90": [round(float(np.percentile(v, 90)), 2)],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(
+        q, batch_format="pandas").sort("l_returnflag")
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+         AS p50,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+         AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- deterministic train/test split
+
+def dataset_split(sf_dir: str):
+    """Deterministic hash-based train/test assignment (the standard
+    training-data split: stable across runs, machines and partitioning —
+    md5 of the id, first 4 hex digits < 0xCCCC ≈ 80% train).  Pure
+    per-row map, no shuffle."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for d in batch.column("doc_id").to_pylist():
+            h = hashlib.md5(str(d).encode()).hexdigest()
+            splits.append("train" if int(h[:4], 16) < 0xCCCC else "test")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "split": pa.array(splits, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      AS INTEGER) < 52428
+            THEN 'train' ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------- corpus vocabulary heavy hitters
 
 def token_freq(sf_dir: str):
