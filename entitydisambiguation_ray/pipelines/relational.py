@@ -779,8 +779,10 @@ LIMIT 10
 def price_quantiles(sf_dir: str):
     """Exact per-group quantiles (median / p90 of extended price per return
     flag): group count is tiny and fixed, so one keyed shuffle +
-    numpy linear-interpolation percentile per group (identical
-    interpolation to SQL percentile_cont)."""
+    numpy linear-interpolation percentile per group — bit-identical to SQL
+    percentile_cont (same interpolation; no rounding, because Python
+    banker's round and SQL half-away-from-zero disagree at .5
+    boundaries)."""
     ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
     def q(g: pd.DataFrame) -> pd.DataFrame:
@@ -789,8 +791,8 @@ def price_quantiles(sf_dir: str):
         v = g["l_extendedprice"].to_numpy()
         return pd.DataFrame({
             "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "p50": [round(float(np.percentile(v, 50)), 2)],
-            "p90": [round(float(np.percentile(v, 90)), 2)],
+            "p50": [float(np.percentile(v, 50))],
+            "p90": [float(np.percentile(v, 90))],
         })
 
     return ds.groupby("l_returnflag").map_groups(
@@ -799,10 +801,8 @@ def price_quantiles(sf_dir: str):
 
 SQL_PRICE_QUANTILES = """
 SELECT l_returnflag,
-       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-         AS p50,
-       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-         AS p90
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
