@@ -777,26 +777,59 @@ LIMIT 10
 # --------------------------------------------------------------- grouped quantiles
 
 def price_quantiles(sf_dir: str):
-    """Exact per-group quantiles (median / p90 of extended price per return
-    flag): group count is tiny and fixed, so one keyed shuffle +
-    numpy linear-interpolation percentile per group — bit-identical to SQL
-    percentile_cont (same interpolation; no rounding, because Python
-    banker's round and SQL half-away-from-zero disagree at .5
-    boundaries)."""
+    """EXACT per-group quantiles (median / p90 of extended price per return
+    flag) WITHOUT collecting any group: distributed sort on (flag, price),
+    per-flag counts give each quantile's global rank, and
+    ``split_at_indices`` + ``limit`` extracts only the two neighbor rows
+    per rank — the driver sees a handful of boundary values, never a
+    group.  Linear interpolation matches SQL percentile_cont
+    bit-for-bit (no rounding: Python banker's round and SQL
+    half-away-from-zero disagree at .5 boundaries)."""
+    import math
+
     ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
-    def q(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    from ray.data.aggregate import Count
 
-        v = g["l_extendedprice"].to_numpy()
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "p50": [float(np.percentile(v, 50))],
-            "p90": [float(np.percentile(v, 90))],
-        })
+    counts = (ds.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("l_returnflag"))
+    sorted_ds = ds.sort(["l_returnflag", "l_extendedprice"]).materialize()
 
-    return ds.groupby("l_returnflag").map_groups(
-        q, batch_format="pandas").sort("l_returnflag")
+    # global ranks of each (flag, quantile) lower/upper neighbor
+    targets = []  # (flag, q, lower_rank, frac)
+    offset = 0
+    for flag, n in zip(counts["l_returnflag"], counts["n"]):
+        for q in (0.5, 0.9):
+            pos = q * (n - 1)
+            lower = math.floor(pos)
+            targets.append((flag, q, offset + lower, pos - lower))
+        offset += int(n)
+
+    total = int(counts["n"].sum())
+    need = set()
+    for _, _, rank, frac in targets:
+        need.add(rank)
+        if frac > 0 and rank + 1 < total:
+            need.add(rank + 1)
+    splits = sorted(need | {i + 1 for i in need})
+    parts = sorted_ds.split_at_indices(splits)
+    row_val: dict[int, float] = {}
+    for i in sorted(need):
+        seg = parts[splits.index(i) + 1]  # the [i, i+1) singleton segment
+        row_val[i] = float(seg.limit(1).to_pandas()
+                           ["l_extendedprice"].iloc[0])
+
+    out = {}
+    for flag, q, rank, frac in targets:
+        a = row_val[rank]
+        b = row_val.get(rank + 1, a) if frac > 0 else a
+        out.setdefault(flag, {})[q] = a + (b - a) * frac
+    res = pd.DataFrame({
+        "l_returnflag": list(out),
+        "p50": [out[f][0.5] for f in out],
+        "p90": [out[f][0.9] for f in out],
+    })
+    return res.sort_values("l_returnflag").reset_index(drop=True)
 
 
 SQL_PRICE_QUANTILES = """

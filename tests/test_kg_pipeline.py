@@ -84,6 +84,29 @@ def test_canonical_join_rewrite_matches_broadcast(ray_session, kg_result):
     pd.testing.assert_frame_equal(e1, e2)
 
 
+def test_canonical_map_misses_fail_loudly(ray_session):
+    """A triple surface missing from the canonical map must raise (both
+    rewrite paths), not silently emit empty/null ids."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.kg import (
+        EdgeRewriter,
+        rewrite_edges_join,
+    )
+
+    rw = EdgeRewriter(canonical_map={})
+    with pytest.raises(KeyError, match="canonical map"):
+        rw._canon("糖尿病")
+
+    triples = rd.from_items([{
+        "url": "u", "subj": "糖尿病", "pred": "属于",
+        "obj": "未知实体XYZ", "sent_idx": 0}])
+    sig_map = rd.from_pandas(pd.DataFrame(
+        {"sig": ["no-such-sig"], "canonical_id": ["x"]}))
+    with pytest.raises(Exception, match="missing from the canonical map"):
+        rewrite_edges_join(triples, sig_map, nparts=2).materialize()
+
+
 def test_write_graph_outputs(ray_session, kg_result, tmp_path):
     import ray.data as rd
 
