@@ -122,19 +122,23 @@ WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
 
 def upsert_last_wins(sf_dir: str):
     """MERGE-by-id last-write-wins (neo4j_database.py:130-177) over the
-    events stream: last event per user by (ts, event_id)."""
+    events stream: last event per user by (ts, event_id).  Coarse
+    hash-partitioned (stages/partition.py) — per-key ``map_groups`` costs
+    one pandas call per user, catastrophic at web-scale key counts."""
+    from ..stages.partition import partitioned_groupby
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
 
-    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=False).head(1)
-        return pd.DataFrame({
-            "user_id": g["user_id"].values,
-            "last_event_id": g["event_id"].values,
-            "last_event_type": g["event_type"].values,
-        })
+    def last_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            ascending=[True, False, False],
+                            kind="mergesort").drop_duplicates("user_id")
+        return df.rename(columns={"event_id": "last_event_id",
+                                  "event_type": "last_event_type"})[
+            ["user_id", "last_event_id", "last_event_type"]]
 
-    return ds.groupby("user_id").map_groups(
-        last_per_user, batch_format="pandas").sort("user_id")
+    return partitioned_groupby(ds, "user_id", last_per_user,
+                               nparts=16).sort("user_id")
 
 
 SQL_UPSERT_LAST_WINS = """
@@ -210,15 +214,18 @@ GROUP BY event_type ORDER BY event_type
 
 def groupby_topk(sf_dir: str):
     """Per-group argmax (candidate top-1, disambiguation.py:146-149):
-    highest-value event per user."""
+    highest-value event per user, via ONE vectorized sort+dedup per coarse
+    partition instead of one pandas call per user."""
+    from ..stages.partition import partitioned_groupby
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True])
-        return g.head(1)
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort").drop_duplicates("user_id")
 
-    return ds.groupby("user_id").map_groups(
-        top1, batch_format="pandas").sort("user_id")
+    return partitioned_groupby(ds, "user_id", top1, nparts=16).sort("user_id")
 
 
 SQL_GROUPBY_TOPK = """
@@ -443,10 +450,19 @@ ORDER BY l_returnflag, l_linestatus
 # --------------------------------------------------------------- distinct
 
 def distinct_values(sf_dir: str):
-    """DISTINCT over two columns (set-op family, SURVEY.md §2.7)."""
+    """DISTINCT over two columns (set-op family, SURVEY.md §2.7): per-batch
+    dedup combiner shrinks the exchange to ≤(distinct × blocks) rows, then
+    one coarse partitioned dedup."""
+    from ..stages.partition import partitioned_groupby
+
     ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    partial = ds.map_batches(
+        lambda t: pa.Table.from_pandas(t.to_pandas().drop_duplicates(),
+                                       preserve_index=False),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = partitioned_groupby(
+        partial, "l_returnflag",
+        lambda df: df.drop_duplicates(), nparts=8)
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
@@ -538,28 +554,33 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 def session_window(sf_dir: str):
     """Gap-based session windows per user (30-min inactivity gap): the
-    per-key ordered-log pattern — groupby(key).map_groups over the sorted
-    group with pandas (guide: 'streaming-shaped workloads')."""
+    per-key ordered-log pattern, run as ONE vectorized sessionization per
+    coarse partition (sort by (user, ts), session breaks = user change OR
+    gap, ids = per-user cumsum) — no per-user pandas call."""
+    from ..stages.partition import partitioned_groupby
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].astype("int64")
-        new = (ts - ts.shift(1)).fillna(SESSION_GAP_US + 1) > SESSION_GAP_US
-        g = g.assign(session_id=new.cumsum().astype("int64"))
-        out = g.groupby("session_id", as_index=False).agg(
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift(1))
+        gap = (ts - ts.shift(1)) > SESSION_GAP_US
+        new = (new_user | gap)
+        sid = new.groupby(df["user_id"].to_numpy()).cumsum()
+        df = df.assign(session_id=sid.astype("int64"))
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             sum_value=("value", "sum"),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["sum_value"] = out["sum_value"].round(2)
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas").sort(["user_id", "session_id"])
+    return partitioned_groupby(ds, "user_id", sessions,
+                               nparts=16).sort(["user_id", "session_id"])
 
 
 SQL_SESSION_WINDOW = """
@@ -602,8 +623,9 @@ def semi_join(sf_dir: str):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in
-                    batch.column("c_custkey").to_pylist()]
+            mask = pd.Series(
+                batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            ).isin(self.keys).to_numpy()
             return batch.filter(pa.array(mask))
 
     ds = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -634,8 +656,9 @@ def anti_join(sf_dir: str):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in
-                    batch.column("c_custkey").to_pylist()]
+            mask = ~pd.Series(
+                batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            ).isin(self.keys).to_numpy()
             return batch.filter(pa.array(mask))
 
     ds = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -712,9 +735,10 @@ def shipping_priority(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             batch = batch.filter(pc.less(batch.column("o_orderdate"),
                                          pa.scalar(cutoff)))
-            mask = [k in self.keys for k in
-                    batch.column("o_custkey").to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_())).select(
+            mask = pd.Series(
+                batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            ).isin(self.keys).to_numpy()
+            return batch.filter(pa.array(mask)).select(
                 ["o_orderkey", "o_orderdate"])
 
     orders = _pq(sf_dir, "orders",
