@@ -183,7 +183,12 @@ def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
         # kind=1 rows carry each (target partition, doc) text exactly once;
         # `key`/`id_*` placeholders reuse same-dtype columns so every
         # partition emits an identical schema (empty-safe).
-        tmap = df.loc[df["_side"] == 1].set_index("key")[text_col]
+        # duplicate doc_id rows: keep="last" matches the legacy broadcast
+        # path's dict(zip(...)) last-wins (a non-unique index would raise
+        # InvalidIndexError inside .map)
+        tmap = (df.loc[df["_side"] == 1]
+                .drop_duplicates("key", keep="last")
+                .set_index("key")[text_col])
         probes = df.loc[df["_side"] == 0]
         pk = (probes["id_a"].astype(str) + "\x1f"
               + probes["id_b"].astype(str))
@@ -364,7 +369,16 @@ def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
 
     def as_edges(batch: pa.Table) -> pa.Table:
         # union-find nodes are strings (min-label order is lexicographic);
-        # zero-pad int ids so lexicographic == numeric order
+        # zero-pad int ids so lexicographic == numeric order — which only
+        # holds for NON-NEGATIVE ids (a padded '-5' would sort after '3'
+        # and corrupt canonical selection): guard loudly
+        if int_ids:
+            for col in ("id_a", "id_b"):
+                mn = pc2.min(batch.column(col)).as_py()
+                if mn is not None and mn < 0:
+                    raise ValueError(
+                        "minhash_dedup requires non-negative integer ids "
+                        f"(found {mn})")
         a = pc2.cast(batch.column("id_a"), pa.string())
         b = pc2.cast(batch.column("id_b"), pa.string())
         if int_ids:

@@ -136,6 +136,9 @@ def decisions_stage(unique_mentions: rd.Dataset,
     reserves a GPU fraction per actor for model-backed encoders (the Ray
     counterpart of the reference's torch.cuda detection,
     vectorization.py:219-313)."""
+    if num_gpus is not None and not use_actors:
+        raise ValueError("num_gpus requires use_actors=True — stateless "
+                         "tasks cannot reserve GPUs for a model")
     if use_actors:
         kwargs = {} if num_gpus is None else {"num_gpus": num_gpus}
         return unique_mentions.map_batches(

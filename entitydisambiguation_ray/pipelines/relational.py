@@ -352,14 +352,16 @@ def join_detail(sf_dir: str):
                  ["o_orderkey", "o_orderpriority", "o_totalprice"])
     joined = shuffle_hash_join(li, orders, on="l_orderkey",
                                right_on="o_orderkey", nparts=16)
-    return joined.sort(["l_orderkey", "l_linenumber"])
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus — include
+    # l_quantity so engine and oracle agree on a total row order
+    return joined.sort(["l_orderkey", "l_linenumber", "l_quantity"])
 
 
 SQL_JOIN_DETAIL = """
 SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_orderkey % 97 = 0
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, l_quantity
 """
 
 

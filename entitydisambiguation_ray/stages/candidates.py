@@ -92,15 +92,11 @@ def explode_mention_probes(batch: pa.Table) -> pa.Table:
 
 
 def hot_blocks(probes: rd.Dataset, threshold: int) -> dict[str, int]:
-    """Pass 1: block → probe count; {block: n_salt} for hot blocks."""
-    from ray.data.aggregate import Count
+    """Pass 1: block → probe count; {block: n_salt} for hot blocks (the
+    shared skew-count helper — same policy as the join primitive's)."""
+    from .join import count_hot_keys
 
-    counts = probes.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
-    out = {}
-    for _, r in counts.iterrows():
-        if r["n"] > threshold:
-            out[r["block"]] = min(16, int(np.ceil(r["n"] / threshold)))
-    return out
+    return count_hot_keys(probes, "block", threshold, salt_max=16)
 
 
 def blocked_decisions(
@@ -141,6 +137,10 @@ def blocked_decisions(
             keys.append(f"{block}#{s}")
         return batch.append_column("block_salted", pa.array(keys, pa.string()))
 
+    from .join import _arrow_types
+
+    probe_types = dict(_arrow_types(probes))  # cheap: probes materialized
+    probe_types["block_salted"] = pa.string()
     probes = probes.map_batches(add_salt, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
@@ -168,9 +168,11 @@ def blocked_decisions(
 
     kb_ds = ents_ds.map_batches(explode_kb, batch_format="pandas")
 
-    # probes is materialized (schema free); kb_ds is lazy — pass its schema
-    # explicitly so pad_union never executes the explode just to peek
+    # both sides' schemas passed explicitly: the add_salt chain and the kb
+    # explode are lazy, and Dataset.schema() on a lazy lineage executes it
+    # (and the union then executes it again)
     both = pad_union(probes, kb_ds,
+                     a_types=probe_types,
                      b_types={"block_salted": pa.string(),
                               "kb_payload": pa.string()})
     _local: dict[str, object] = {}

@@ -52,7 +52,10 @@ def count_hot_keys(ds: rd.Dataset, key: str, threshold: int,
 
     def partial(batch: pa.Table) -> pa.Table:
         tbl = batch.group_by(key).aggregate([(key, "count")])
-        return tbl.rename_columns([key, "n"])
+        # select by NAME — pyarrow's group_by output column order is an
+        # implementation detail that has differed across versions
+        return pa.table({key: tbl.column(key),
+                         "n": tbl.column(f"{key}_count")})
 
     from ray.data.aggregate import Sum
 
@@ -79,6 +82,8 @@ def _pad_array(n: int, typ: pa.DataType) -> pa.Array:
         return pa.array([""] * n, type=typ)
     if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
         return pa.array([b""] * n, type=typ)
+    if pa.types.is_date32(typ):  # date32 only casts from int32, not int64
+        return pa.array(np.zeros(n, dtype=np.int32)).cast(typ)
     if pa.types.is_timestamp(typ) or pa.types.is_date(typ) \
             or pa.types.is_time(typ) or pa.types.is_duration(typ):
         return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
