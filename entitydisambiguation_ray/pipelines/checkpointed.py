@@ -85,38 +85,16 @@ def _page_range(lo: int, hi: int, seed: int) -> rd.Dataset:
 
 
 def _downstream(triples: rd.Dataset, cfg: EngineConfig, concurrency) -> dict:
-    """mentions → unique → decisions → edges over a triples Dataset."""
-    import functools
+    """mentions → unique → decisions → edges over a triples Dataset —
+    delegates to the SAME shared stages as the in-memory pipeline
+    (kg.make_decisions / kg.canonicalize_and_rewrite), so candidate-gen
+    mode, round-2 semantics and the broadcast-vs-join canonical rewrite
+    cannot drift between the two runners."""
+    from .kg import canonicalize_and_rewrite, make_decisions
 
-    import ray
-
-    from .kg import _dedup_partial_edges, _edge_key, rewrite_edges_batch
-    from ..stages.partition import dedup_first
-    from .kg import decisions_stage, mentions_stage, unique_mentions_stage
-
-    mentions = mentions_stage(triples, cfg)
-    uniq = unique_mentions_stage(mentions)
-    decisions = decisions_stage(uniq, cfg, concurrency)
-    dec_df = decisions.to_pandas()
-    dec_df = (dec_df.sort_values("sig", kind="mergesort")
-              .drop_duplicates("sig").reset_index(drop=True))
-    if cfg.round2_dedup:
-        from .kg import round2_canonicalize
-
-        dec_df = round2_canonicalize(dec_df, cfg)
-    canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
-    map_ref = ray.put(canonical_map)
-    edges_raw = triples.map_batches(
-        functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
-        batch_format="pyarrow", batch_size=cfg.score_batch_size,
-    )
-    edges = (
-        edges_raw.map_batches(_edge_key, batch_format="pyarrow")
-        .select_columns(["edge_key", "src_id", "dst_id", "rel_type"])
-        .map_batches(_dedup_partial_edges, batch_format="pyarrow")
-    )
-    edges = dedup_first(edges, "edge_key", nparts=64).select_columns(
-        ["src_id", "dst_id", "rel_type"]).sort(["src_id", "dst_id", "rel_type"])
+    decisions = make_decisions(triples, cfg, concurrency)
+    dec_df, edges = canonicalize_and_rewrite(triples, decisions, cfg)
+    edges = edges.sort(["src_id", "dst_id", "rel_type"])
     # rebuild a Dataset for the decisions sink (sorted for determinism)
     decisions_sorted = rd.from_pandas(
         dec_df.sort_values("sig").reset_index(drop=True))

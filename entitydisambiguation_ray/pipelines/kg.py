@@ -556,42 +556,35 @@ def apply_merge_edges(dec_df: pd.DataFrame,
     return out
 
 
-def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
-                    concurrency: int | tuple = (1, 4)) -> dict:
-    """Full pipeline.
-
-    ``concurrency`` only sizes ACTOR-POOL stages (``decisions_stage(...,
-    use_actors=True)`` for model-backed encoders); the default stateless-task
-    stages scale with the cluster's CPUs and ignore it.  Returns dict of result Datasets / frames:
-    ``triples`` (url-level provenance edges), ``edges`` (deduped canonical
-    triples), ``decisions`` (unique-mention audit log = the reference's
-    DisambiguationHistory, SURVEY.md S10), ``entities`` (canonical entity
-    table: seed KB + created)."""
-    extracted = extract_stage(pages, cfg)
-    triples = triples_stage(extracted, cfg)
-    # Two consumers read `triples` (mention path and edge-rewrite path);
-    # pin the post-extraction dataset (orders of magnitude smaller than the
-    # html input — SURVEY.md §7.4 "keep html out of post-extract stages")
-    # instead of re-running extraction per consumer.  The checkpointing mode
-    # (state/checkpoint.py) writes triples to partitioned parquet and reads
-    # them back, which also makes this the resume point.
-    triples = triples.materialize()
+def make_decisions(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
+                   concurrency: int | tuple = (1, 4)) -> rd.Dataset:
+    """triples → mentions → unique-mention collapse → per-mention decisions,
+    honoring ``cfg.candidate_gen`` (global broadcast KB vs blocked
+    co-partitioned KB) — shared by the in-memory and checkpointed runs."""
     mentions = mentions_stage(triples, cfg)
     uniq = unique_mentions_stage(mentions)
     if cfg.candidate_gen == "blocked":
         from ..stages.candidates import blocked_decisions
 
-        decisions = blocked_decisions(uniq, build_seed_entities(), cfg)
-    else:
-        decisions = decisions_stage(uniq, cfg, concurrency)
+        return blocked_decisions(uniq, build_seed_entities(), cfg)
+    return decisions_stage(uniq, cfg, concurrency)
 
-    # decisions is small by construction (distinct mentions); collect the
-    # canonical map and created-entity rows on the driver.  Residual
-    # duplicate sigs from the shuffle-free unique stage (exact=False) agree
-    # in every content column but carry per-batch first_occ minima — sort on
-    # (sig, first_occ) so the kept row is the global-min occurrence
-    # regardless of block arrival order (round-2 representative selection
-    # depends on it).
+
+def canonicalize_and_rewrite(triples: rd.Dataset, decisions: rd.Dataset,
+                             cfg: EngineConfig = DEFAULT_CONFIG):
+    """decisions → (dec_df, canonical edges Dataset): collect + dedup the
+    (KB-proportional) decisions table, round-2 canonicalization, then the
+    sig→canonical edge rewrite — broadcast below
+    ``cfg.canonical_map_broadcast_max`` rows, shuffle hash joins beyond
+    (equivalence-tested) — and the exact edge dedup.  Shared by
+    ``run_kg_pipeline`` and the checkpointed runner so the two paths
+    cannot drift.
+
+    Residual duplicate sigs from the shuffle-free unique stage
+    (exact=False) agree in every content column but carry per-batch
+    first_occ minima — sort on (sig, first_occ) so the kept row is the
+    global-min occurrence regardless of block arrival order (round-2
+    representative selection depends on it)."""
     dec_df = decisions.to_pandas()
     dec_df = (dec_df.sort_values(["sig", "first_occ"], kind="mergesort")
               .drop_duplicates("sig").reset_index(drop=True))
@@ -622,6 +615,31 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     )
     edges = dedup_first(edges, "edge_key", nparts=64).select_columns(
         ["src_id", "dst_id", "rel_type"])
+    return dec_df, edges
+
+
+def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
+                    concurrency: int | tuple = (1, 4)) -> dict:
+    """Full pipeline.
+
+    ``concurrency`` only sizes ACTOR-POOL stages (``decisions_stage(...,
+    use_actors=True)`` for model-backed encoders); the default stateless-task
+    stages scale with the cluster's CPUs and ignore it.  Returns dict of result Datasets / frames:
+    ``triples`` (url-level provenance edges), ``edges`` (deduped canonical
+    triples), ``decisions`` (unique-mention audit log = the reference's
+    DisambiguationHistory, SURVEY.md S10), ``entities`` (canonical entity
+    table: seed KB + created)."""
+    extracted = extract_stage(pages, cfg)
+    triples = triples_stage(extracted, cfg)
+    # Two consumers read `triples` (mention path and edge-rewrite path);
+    # pin the post-extraction dataset (orders of magnitude smaller than the
+    # html input — SURVEY.md §7.4 "keep html out of post-extract stages")
+    # instead of re-running extraction per consumer.  The checkpointing mode
+    # (state/checkpoint.py) writes triples to partitioned parquet and reads
+    # them back, which also makes this the resume point.
+    triples = triples.materialize()
+    decisions = make_decisions(triples, cfg, concurrency)
+    dec_df, edges = canonicalize_and_rewrite(triples, decisions, cfg)
 
     # entities table: seed KB ∪ created entities (dedup by canonical_id,
     # deterministic first-by-sig — the reference's MERGE-upsert last-wins
@@ -663,7 +681,6 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     return {
         "extracted": extracted,
         "triples": triples,
-        "mentions": mentions,
         "decisions": decisions,
         "decisions_df": dec_df,
         "edges": edges,
