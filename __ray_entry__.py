@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_agg": R.shuffle_join_agg,
         "join_detail": R.join_detail,
         "semi_join_shuffle": R.semi_join_shuffle,
+        "semi_join_bloom": R.semi_join_bloom,
         "anti_join_shuffle": R.anti_join_shuffle,
         "pricing_summary": R.pricing_summary,
         "distinct_values": R.distinct_values,
@@ -529,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_join_agg": R.SQL_SHUFFLE_JOIN_AGG,
         "join_detail": R.SQL_JOIN_DETAIL,
         "semi_join_shuffle": R.SQL_SEMI_JOIN,
+        "semi_join_bloom": R.SQL_SEMI_JOIN,
         "anti_join_shuffle": R.SQL_ANTI_JOIN,
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "distinct_values": R.SQL_DISTINCT_VALUES,

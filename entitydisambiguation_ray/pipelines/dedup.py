@@ -328,25 +328,47 @@ def embedding_neardup_pairs(
 
 def embedding_neardup_lsh(
     ds: rd.Dataset, id_col: str, vec_col: str,
-    *, threshold: float = 0.35, n_planes: int = 6,
+    *, threshold: float = 0.35, n_planes: int = 6, n_probes: int = 1,
 ) -> rd.Dataset:
     """Embedding near-dup without a label column: block by random-hyperplane
     LSH bucket (cos-similar vectors land together with high probability),
-    then the same within-block matmul.  Recall vs the label-blocked exact
-    variant is measured in pytest; multi-probe (several plane sets) is the
-    recall knob at scale."""
+    then the same within-block matmul.
+
+    ``n_probes`` > 1 is the recall knob: each probe uses an INDEPENDENT
+    seeded plane set (each row lands in one bucket per probe → total work
+    scales linearly with probes, not exponentially), pairs are unioned and
+    deduped.  Recall vs the label-blocked exact variant is measured in
+    pytest."""
     from .ann import HyperplaneLSH, _as_matrix, _normalize
 
-    def tag(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
-        lsh = HyperplaneLSH(mat.shape[1], n_planes=n_planes)
-        b = lsh.bucket(mat)
-        return batch.append_column("lsh_bucket",
-                                   pa.array(b.astype("int64"), pa.int64()))
+    def tag(seed: int):
+        def f(batch: pa.Table) -> pa.Table:
+            mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+            lsh = HyperplaneLSH(mat.shape[1], n_planes=n_planes, seed=seed)
+            b = lsh.bucket(mat)
+            return batch.append_column(
+                "lsh_bucket", pa.array(b.astype("int64"), pa.int64()))
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    return embedding_neardup_pairs(tagged, id_col, vec_col, "lsh_bucket",
-                                   threshold=threshold)
+        return f
+
+    per_probe = []
+    for p in range(n_probes):
+        tagged = ds.map_batches(tag(42 + p), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        per_probe.append(embedding_neardup_pairs(
+            tagged, id_col, vec_col, "lsh_bucket", threshold=threshold))
+    if n_probes == 1:
+        return per_probe[0]
+    allp = per_probe[0].union(*per_probe[1:])
+
+    def pkey(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("id_a"), pa.string()),
+            pc.cast(batch.column("id_b"), pa.string()), "\x1f")
+        return batch.append_column("pair_key", key)
+
+    return dedup_first(allp.map_batches(pkey, batch_format="pyarrow"),
+                       "pair_key", nparts=8).drop_columns(["pair_key"])
 
 
 def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,

@@ -377,6 +377,48 @@ def semi_join_shuffle(sf_dir: str):
                              nparts=16).sort("c_custkey")
 
 
+def semi_join_bloom(sf_dir: str):
+    """Semi join at key-set sizes too large to broadcast exactly: a
+    distributed Bloom filter of the right key set (per-batch filters =
+    the combiner, OR-merged, fixed 128 KiB each) prunes the left side
+    BEFORE the shuffle, then the exact shuffle semi join confirms the
+    (few) Bloom false positives — exact result, shuffle volume reduced to
+    matches + FP rate (guide: 'broadcast the key set (or a Bloom filter
+    of it)')."""
+    from ..stages.join import shuffle_hash_join
+    from ..stages.sketches import BloomFilter
+
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter().add_many(
+            batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"bf": pa.array([bf.serialize()], pa.binary())})
+
+    parts = orders.map_batches(bloom_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    acc = BloomFilter()
+    for blob in parts["bf"]:
+        acc.merge(BloomFilter.deserialize(blob))
+    bf_ref = ray.put(acc.serialize())
+
+    class BloomPrune:
+        def __init__(self):
+            self.bf = BloomFilter.deserialize(ray.get(bf_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = self.bf.contains_many(
+                batch.column("c_custkey").to_numpy(zero_copy_only=False))
+            return batch.filter(pa.array(mask))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    pruned = cust.map_batches(BloomPrune, batch_format="pyarrow",
+                              concurrency=(1, 2))
+    return shuffle_hash_join(pruned, orders, on="c_custkey",
+                             right_on="o_custkey", how="semi",
+                             nparts=16).sort("c_custkey")
+
+
 def anti_join_shuffle(sf_dir: str):
     """anti_join semantics via the shuffle join (how="anti")."""
     from ..stages.join import shuffle_hash_join

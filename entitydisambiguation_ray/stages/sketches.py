@@ -125,3 +125,61 @@ def approx_distinct_by(ds, group_col: str, column: str, p: int = 12):
         out.append({group_col: gval,
                     "approx_n": int(round(acc.estimate()))})
     return pd.DataFrame(out)
+
+
+class BloomFilter:
+    """Vectorized Bloom filter (Bloom 1970) for distributed semi-join
+    prefiltering: per-batch filters are the combiner (fixed ``m`` bits
+    each), merged with bitwise OR — no false negatives, tunable false
+    positives (≈ (1 - e^{-k·n/m})^k).
+
+    Hashing: two independent vectorized 64-bit row hashes (pandas
+    siphash with distinct keys) combined by double hashing
+    h_i = h1 + i·h2 (Kirsch & Mitzenmacher 2006)."""
+
+    _KEY1 = "0123456789123456"
+    _KEY2 = "fedcba9876543210"
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 5):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, values) -> np.ndarray:
+        import pandas as pd
+
+        arr = np.asarray(values, dtype=object)
+        h1 = pd.util.hash_array(arr, hash_key=self._KEY1)
+        h2 = pd.util.hash_array(arr, hash_key=self._KEY2) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
+
+    def add_many(self, values) -> "BloomFilter":
+        if len(values) == 0:
+            return self
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.words, pos // 64,
+                         np.uint64(1) << (pos % np.uint64(64)))
+        return self
+
+    def contains_many(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        bits = (self.words[pos // 64] >> (pos % np.uint64(64))) \
+            & np.uint64(1)
+        return (bits == 1).all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    def serialize(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, m_bits: int = 1 << 20,
+                    k: int = 5) -> "BloomFilter":
+        b = cls(m_bits, k)
+        b.words = np.frombuffer(data, dtype=np.uint64).copy()
+        return b

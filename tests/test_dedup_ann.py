@@ -291,6 +291,62 @@ def test_approx_distinct_by_matches_exact(ray_session):
     assert abs(out["B"] - 4000) / 4000 < 0.02
 
 
+def test_embedding_lsh_multiprobe_recall(ray_session):
+    """Multi-probe LSH recovers strictly more near-dup pairs than one
+    probe (independent plane sets union their buckets)."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    mat = rng.standard_normal((200, 16))
+    # plant 30 near-dup pairs
+    for i in range(30):
+        mat[100 + i] = mat[i] + 0.05 * rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist(), "label": 0}
+            for i in range(200)]
+    ds = rd.from_items(rows)
+    exact = embedding_neardup_pairs(ds, "vec_id", "embedding", "label",
+                                    threshold=0.95).to_pandas()
+    gold = set(zip(exact["id_a"], exact["id_b"]))
+    p1 = embedding_neardup_lsh(ds, "vec_id", "embedding", threshold=0.95,
+                               n_planes=8, n_probes=1).to_pandas()
+    p3 = embedding_neardup_lsh(ds, "vec_id", "embedding", threshold=0.95,
+                               n_planes=8, n_probes=3).to_pandas()
+    r1 = len(set(zip(p1["id_a"], p1["id_b"])) & gold) / max(len(gold), 1)
+    r3 = len(set(zip(p3["id_a"], p3["id_b"])) & gold) / max(len(gold), 1)
+    assert r3 >= r1
+    assert r3 >= 0.8, (r1, r3)
+    # no false pairs: every emitted pair passes the cosine threshold
+    assert set(zip(p3["id_a"], p3["id_b"])) <= gold
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate near theory; OR-merge
+    equals the filter of the union; serialize round-trips."""
+    from entitydisambiguation_ray.stages.sketches import BloomFilter
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    members = rng.integers(0, 10**9, 5000)
+    others = rng.integers(10**9, 2 * 10**9, 20000)
+    bf = BloomFilter(m_bits=1 << 16, k=5).add_many(members)
+    assert bf.contains_many(members).all()  # no false negatives
+    fp = bf.contains_many(others).mean()
+    # theory: (1 - e^{-k n/m})^k ≈ 0.022 at n=5000, m=65536, k=5
+    assert fp < 0.08, fp
+    a = BloomFilter(m_bits=1 << 16).add_many(members[:2500])
+    b = BloomFilter(m_bits=1 << 16).add_many(members[2500:])
+    merged = a.merge(b)
+    assert np.array_equal(merged.words,
+                          BloomFilter(m_bits=1 << 16)
+                          .add_many(members).words)
+    back = BloomFilter.deserialize(merged.serialize(), m_bits=1 << 16)
+    assert back.contains_many(members).all()
+
+
 def test_round2_prune_invariant_guard():
     """token_prune_exact reflects the config algebra; the distributed
     round-2 fails loudly when the prune is inexact."""
