@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_agg": R.broadcast_join_agg,
         "shuffle_join_agg": R.shuffle_join_agg,
         "join_detail": R.join_detail,
+        "asof_join": R.asof_join,
         "semi_join_shuffle": R.semi_join_shuffle,
         "semi_join_bloom": R.semi_join_bloom,
         "anti_join_shuffle": R.anti_join_shuffle,
@@ -529,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_agg": R.SQL_BROADCAST_JOIN_AGG,
         "shuffle_join_agg": R.SQL_SHUFFLE_JOIN_AGG,
         "join_detail": R.SQL_JOIN_DETAIL,
+        "asof_join": R.SQL_ASOF_JOIN,
         "semi_join_shuffle": R.SQL_SEMI_JOIN,
         "semi_join_bloom": R.SQL_SEMI_JOIN,
         "anti_join_shuffle": R.SQL_ANTI_JOIN,

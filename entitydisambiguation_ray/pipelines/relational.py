@@ -842,6 +842,64 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------- as-of join
+
+def asof_join(sf_dir: str):
+    """AS-OF join (an operator Ray Data lacks): each event matched to the
+    latest order of that customer placed at-or-before the event time.
+    Expressed as a cogroup: pad-union events + orders tagged by side, ONE
+    coarse shuffle on the customer key, then a vectorized
+    ``pandas.merge_asof`` per partition (sorted on the time axis, ``by``
+    the key).  Partitioning assumption: all rows of a key co-locate —
+    guaranteed by the keyed shuffle; skewed customers salt like any hot
+    join key.  Output keeps only deterministic columns (the as-of DATE,
+    not an order id — ties on the date would make the id
+    implementation-defined in both engines)."""
+    from ..stages.join import pad_union
+    from ..stages.partition import partitioned_groupby
+
+    events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("o_custkey").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate").cast(
+                pa.timestamp("us")),
+        })
+
+    orders = orders.map_batches(prep_orders, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    both = pad_union(
+        events, orders,
+        a_types={"event_id": pa.int64(), "user_id": pa.int64(),
+                 "ts": pa.timestamp("us")},
+        b_types={"user_id": pa.int64(), "o_orderdate": pa.timestamp("us")})
+
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        ev = (df.loc[df["_side"] == 0, ["event_id", "user_id", "ts"]]
+              .sort_values("ts", kind="mergesort"))
+        od = (df.loc[df["_side"] == 1, ["user_id", "o_orderdate"]]
+              .sort_values("o_orderdate", kind="mergesort"))
+        m = pd.merge_asof(ev, od, left_on="ts", right_on="o_orderdate",
+                          by="user_id", direction="backward")
+        m = m.dropna(subset=["o_orderdate"])  # ASOF JOIN is inner
+        m = m.rename(columns={"o_orderdate": "last_order_date"})
+        return m[["event_id", "user_id", "ts", "last_order_date"]]
+
+    return partitioned_groupby(both, "user_id", asof_part,
+                               nparts=16).sort("event_id")
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(o.o_orderdate AS TIMESTAMP) AS last_order_date
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 # --------------------------------------------------------------- grouped quantiles
 
 def price_quantiles(sf_dir: str):
