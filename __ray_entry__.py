@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_agg": R.shuffle_join_agg,
         "join_detail": R.join_detail,
         "asof_join": R.asof_join,
+        "range_join": R.range_join,
         "semi_join_shuffle": R.semi_join_shuffle,
         "semi_join_bloom": R.semi_join_bloom,
         "anti_join_shuffle": R.anti_join_shuffle,
@@ -531,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_join_agg": R.SQL_SHUFFLE_JOIN_AGG,
         "join_detail": R.SQL_JOIN_DETAIL,
         "asof_join": R.SQL_ASOF_JOIN,
+        "range_join": R.SQL_RANGE_JOIN,
         "semi_join_shuffle": R.SQL_SEMI_JOIN,
         "semi_join_bloom": R.SQL_SEMI_JOIN,
         "anti_join_shuffle": R.SQL_ANTI_JOIN,

@@ -900,6 +900,54 @@ ORDER BY e.event_id
 """
 
 
+# --------------------------------------------------------------- range join
+
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def range_join(sf_dir: str):
+    """Range (interval) join — the second operator Ray Data lacks natively:
+    for every event, the count of the SAME user's events in the preceding
+    hour.  One keyed coarse shuffle on the user, then a fully vectorized
+    per-partition kernel: sort by (user, ts) and two ``searchsorted``
+    cursors per user give each row's window count without materializing
+    any pair — O(n log n) per partition instead of the quadratic
+    pair-explosion a naive join-then-filter would do."""
+    import numpy as np
+
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def window_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64").to_numpy()
+        out = np.empty(len(df), dtype=np.int64)
+        start = 0
+        uvals = df["user_id"].to_numpy()
+        for end in range(1, len(df) + 1):
+            if end == len(df) or uvals[end] != uvals[start]:
+                seg = ts[start:end]
+                lo = np.searchsorted(seg, seg - RANGE_WINDOW_US, side="left")
+                hi = np.searchsorted(seg, seg, side="left")
+                out[start:end] = hi - lo
+                start = end
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "n_prior_1h": out})
+
+    return partitioned_groupby(ds, "user_id", window_counts,
+                               nparts=16).sort("event_id")
+
+
+SQL_RANGE_JOIN = """
+SELECT a.event_id, count(b.event_id) AS n_prior_1h
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY a.event_id ORDER BY a.event_id
+"""
+
+
 # --------------------------------------------------------------- grouped quantiles
 
 def price_quantiles(sf_dir: str):
