@@ -154,11 +154,14 @@ def run_scaling() -> dict:
                     / (hi_cpus / lo_cpus), 3),
             })
         med = statistics.median(r["efficiency"] for r in per_round)
-        best = max(per_round, key=lambda r: r["efficiency"])
+        # flat legacy leg fields from the round whose efficiency is CLOSEST
+        # to the median (with an even round count the median matches no
+        # round; picking max() here would systematically report the most
+        # favorable run's legs)
+        rep = min(per_round, key=lambda r: abs(r["efficiency"] - med))
         res = {"cpus_lo": lo_cpus, "cpus_hi": hi_cpus,
                "efficiency": round(med, 3), "rounds": per_round}
-        # flat leg fields from the median-defining round (best on ties)
-        res.update({k: v for k, v in best.items() if k != "efficiency"})
+        res.update({k: v for k, v in rep.items() if k != "efficiency"})
         pair_results.append(res)
     primary = pair_results[0]
     out = {

@@ -68,6 +68,14 @@ class EngineConfig:
     # this row count, edge endpoints are resolved via co-partitioned
     # shuffle hash joins instead (pipelines/kg.rewrite_edges_join)
     canonical_map_broadcast_max: int = 2_000_000
+    # canonicalization execution mode (pipelines/kg.canonicalize_and_rewrite):
+    # "driver" collects the KB-proportional decisions table to pandas (fast
+    # at sandbox scale), "distributed" keeps decisions / entities / the
+    # canonical remap Dataset-resident end to end (the 10^12-page path,
+    # equivalence-tested byte-identical), "auto" switches at
+    # canonicalize_driver_max decision rows
+    canonicalize: str = "auto"
+    canonicalize_driver_max: int = 2_000_000
 
     def weights(self) -> tuple[float, float, float, float]:
         return (

@@ -20,6 +20,28 @@ import ray.data as rd
 
 
 def _as_matrix(col) -> np.ndarray:
+    """vectors → (n, dim) float64 matrix.
+
+    Fast path for Arrow ``list<float>`` columns with uniform lengths: one
+    vectorized ``list_flatten`` (offset-safe for sliced arrays) + reshape —
+    no per-row Python materialization.  Falls back to the generic per-row
+    path for Python lists / ragged input."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        try:
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(col)
+            n = len(col)
+            if n and lens.null_count == 0:
+                mn = pc.min_max(lens).as_py()
+                if mn["min"] == mn["max"] and mn["min"] is not None:
+                    dim = mn["min"]
+                    flat = pc.list_flatten(col).to_numpy(
+                        zero_copy_only=False)
+                    return flat.reshape(n, dim).astype(np.float64, copy=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+            pass
+        col = col.to_pylist()
     return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -44,7 +66,7 @@ def brute_force_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch.column(id_col).to_pylist())
-            mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+            mat = _normalize(_as_matrix(batch.column(vec_col)))
             cos = mat @ self.q.T  # (n, nq)
             out_q, out_id, out_cos = [], [], []
             kk = min(k, len(ids))
@@ -102,7 +124,7 @@ def lsh_topk(
     qbuckets = set(lsh.bucket(_normalize(qm)).tolist())
 
     def tag(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        mat = _normalize(_as_matrix(batch.column(vec_col)))
         b = lsh.bucket(mat)
         batch = batch.append_column("bucket", pa.array(b, pa.uint32()))
         mask = pa.array(np.isin(b, list(qbuckets)))
@@ -110,6 +132,34 @@ def lsh_topk(
 
     filtered = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_topk(filtered, id_col, vec_col, qm, k=k)
+
+
+_KMEANS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _kmeans_partial(batch: pa.Table, *, ref, vec_col: str) -> pa.Table:
+    """Per-batch Lloyd combiner as a STATELESS task over warm workers: the
+    per-iteration centroid matrix ships once via ``ray.put`` and is fetched
+    once per worker process per iteration (memoized by object-ref id) — no
+    actor pool is spawned per iteration (a fresh pool per Lloyd round paid
+    actor spawn × iters; warm tasks reuse the already-imported workers, the
+    same pattern as kg.rewrite_edges_batch)."""
+    key = ref.hex()
+    c = _KMEANS_CACHE.get(key)
+    if c is None:
+        _KMEANS_CACHE.clear()  # previous iterations' centroids are dead
+        c = ray.get(ref)
+        _KMEANS_CACHE[key] = c
+    mat = _normalize(_as_matrix(batch.column(vec_col)))
+    cid = np.argmax(mat @ c.T, axis=1)
+    sums = np.zeros_like(c)
+    np.add.at(sums, cid, mat)
+    counts = np.bincount(cid, minlength=c.shape[0])
+    return pa.table({
+        "cid": pa.array(np.arange(c.shape[0]), pa.int32()),
+        "count": pa.array(counts, pa.int64()),
+        "sum": pa.array(list(sums), pa.list_(pa.float64())),
+    })
 
 
 def kmeans_fit(
@@ -126,31 +176,17 @@ def kmeans_fit(
     Initialization: seeded deterministic hyperplane directions (the same
     untrained centroids ``ivf_topk`` defaults to), so fit is reproducible
     across runs and cluster layouts."""
+    import functools
+
     rng = np.random.Generator(np.random.PCG64(seed))
     first = ds.limit(1).to_pandas()
     dim = len(np.asarray(first[vec_col].iloc[0]))
     centroids = _normalize(rng.standard_normal((n_centroids, dim)))
     for _ in range(iters):
         ref = ray.put(centroids)
-
-        class Partial:
-            def __init__(self):
-                self.c = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
-                cid = np.argmax(mat @ self.c.T, axis=1)
-                sums = np.zeros_like(self.c)
-                np.add.at(sums, cid, mat)
-                counts = np.bincount(cid, minlength=self.c.shape[0])
-                return pa.table({
-                    "cid": pa.array(np.arange(self.c.shape[0]), pa.int32()),
-                    "count": pa.array(counts, pa.int64()),
-                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
-                })
-
-        parts = ds.map_batches(Partial, batch_format="pyarrow",
-                               concurrency=(1, 4)).to_pandas()
+        parts = ds.map_batches(
+            functools.partial(_kmeans_partial, ref=ref, vec_col=vec_col),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
         sums = np.zeros_like(centroids)
         counts = np.zeros(centroids.shape[0], dtype=np.int64)
         for cid, cnt, s in zip(parts["cid"], parts["count"], parts["sum"]):
@@ -190,7 +226,7 @@ def ivf_topk(
     probed = set(probe.ravel().tolist())
 
     def tag(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        mat = _normalize(_as_matrix(batch.column(vec_col)))
         cid = np.argmax(mat @ centroids.T, axis=1)
         mask = pa.array(np.isin(cid, list(probed)))
         return batch.filter(mask)

@@ -93,11 +93,15 @@ def _downstream(triples: rd.Dataset, cfg: EngineConfig, concurrency) -> dict:
     from .kg import canonicalize_and_rewrite, make_decisions
 
     decisions = make_decisions(triples, cfg, concurrency)
-    dec_df, edges = canonicalize_and_rewrite(triples, decisions, cfg)
-    edges = edges.sort(["src_id", "dst_id", "rel_type"])
-    # rebuild a Dataset for the decisions sink (sorted for determinism)
-    decisions_sorted = rd.from_pandas(
-        dec_df.sort_values("sig").reset_index(drop=True))
+    out = canonicalize_and_rewrite(triples, decisions, cfg)
+    edges = out["edges"].sort(["src_id", "dst_id", "rel_type"])
+    # decisions sink (sorted for determinism) — the distributed
+    # canonicalization already leaves a Dataset; the driver path rebuilds one
+    if "decisions_df" in out:
+        decisions_sorted = rd.from_pandas(
+            out["decisions_df"].sort_values("sig").reset_index(drop=True))
+    else:
+        decisions_sorted = out["decisions_ds"].sort("sig")
     return {"decisions": decisions_sorted, "edges": edges}
 
 

@@ -39,10 +39,28 @@ def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
                        sort_by=[id_col]).drop_columns(["fp_md5"])
 
 
+# Hot-bucket cap: an LSH band bucket with b members emits O(b²) candidate
+# pairs — a boilerplate-heavy crawl segment (thousands of near-identical
+# pages sharing one band hash) would go quadratic in both CPU and shuffle
+# volume.  Buckets beyond this bound are dropped as pair generators with the
+# dropped pair mass counted and logged (the engine's no-silent-caps
+# discipline, kg.py round-2 pattern).  The recall cost is explicit and
+# small: docs in a >cap bucket are near-identical by construction and almost
+# always share several OTHER band buckets below the cap.
+LSH_BUCKET_CAP = 2048
+
+
+def _emit_bucket_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (a < b) of a sorted unique id array, vectorized."""
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return ids[ia], ids[ib]
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset, id_col: str, text_col: str,
     *, num_perm: int = 64, bands: int = 16, threshold: float = 0.6,
     shingle_k: int = 5, verify: str = "join",
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> rd.Dataset:
     """MinHash+LSH near-dup detection → verified pair list
     (id_a, id_b, jaccard ≥ threshold).
@@ -72,15 +90,32 @@ def minhash_lsh_pairs(
     def buckets_to_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
         out_b: list = []
+        dropped_pairs = 0
+        dropped_buckets = 0
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
-            ids = sorted(set(g["doc_id"].tolist()))
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) > bucket_cap:
+                dropped_pairs += len(ids) * (len(ids) - 1) // 2
+                dropped_buckets += 1
+                continue
+            a, b = _emit_bucket_pairs(ids)
+            out_a.append(a)
+            out_b.append(b)
+        if dropped_pairs:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH dropped %d candidate pairs from %d hot band "
+                "buckets (> %d members) — near-dups relying ONLY on those "
+                "buckets are missed (they typically share other bands)",
+                dropped_pairs, dropped_buckets, bucket_cap)
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=df["doc_id"].dtype),
+                                 "id_b": pd.Series([], dtype=df["doc_id"].dtype)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     candidates = partitioned_groupby(exploded, "band_hash", buckets_to_pairs,
                                      nparts=32)
@@ -256,9 +291,12 @@ def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
 
 
 def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
-                  *, max_hamming: int = 3) -> rd.Dataset:
+                  *, max_hamming: int = 3,
+                  bucket_cap: int = LSH_BUCKET_CAP) -> rd.Dataset:
     """SimHash near-dup pairs (Hamming ≤ max_hamming) via 4×16-bit band
-    blocking (pigeonhole-complete for max_hamming ≤ 3)."""
+    blocking (pigeonhole-complete for max_hamming ≤ 3).  Band buckets
+    beyond ``bucket_cap`` members are dropped as pair generators with the
+    dropped pair mass logged (same discipline as ``minhash_lsh_pairs``)."""
     sh = ds.map_batches(
         functools.partial(simhash_batch, id_col=id_col, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -268,17 +306,32 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
         # each sketch row carries its own simhash, so the full Hamming check
         # runs from in-partition values — no driver-side id→simhash map
         rows = []
+        dropped_pairs = 0
+        dropped_buckets = 0
         for _, g in df.groupby(band_col, sort=False):
             if len(g) < 2:
                 continue
             g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            n = len(g)
+            if n > bucket_cap:
+                dropped_pairs += n * (n - 1) // 2
+                dropped_buckets += 1
+                continue
             ids = g["doc_id"].tolist()
             hs = [int(h) for h in g["simhash"]]
             for i, a in enumerate(ids):
-                for j in range(i + 1, len(ids)):
+                for j in range(i + 1, n):
                     h = hamming64(hs[i], hs[j])
                     if h <= max_hamming:
                         rows.append((a, ids[j], h))
+        if dropped_pairs:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash dropped %d candidate pairs from %d hot band "
+                "buckets (> %d members); pairs in those buckets are only "
+                "found via their other bands", dropped_pairs,
+                dropped_buckets, bucket_cap)
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     per_band = [
@@ -343,7 +396,7 @@ def embedding_neardup_lsh(
 
     def tag(seed: int):
         def f(batch: pa.Table) -> pa.Table:
-            mat = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+            mat = _normalize(_as_matrix(batch.column(vec_col)))
             lsh = HyperplaneLSH(mat.shape[1], n_planes=n_planes, seed=seed)
             b = lsh.bucket(mat)
             return batch.append_column(

@@ -556,6 +556,267 @@ def apply_merge_edges(dec_df: pd.DataFrame,
     return out
 
 
+def _cast_to_types(types: dict):
+    """map_batches normalizer: enforce the declared Arrow types.  Coarse
+    partitioned shuffles round-trip blocks through pandas, and EMPTY
+    partitions come back with degraded dtypes (object → Arrow null) that
+    poison downstream schema unification / sorts — casting is a no-op for
+    healthy blocks and heals the empties."""
+    def f(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in types.items():
+            col = batch.column(name)
+            cols[name] = col if col.type == typ else col.cast(typ)
+        return pa.table(cols)
+
+    return f
+
+
+def _remap_decisions_distributed(dec: rd.Dataset, edges_ds: rd.Dataset,
+                                 nparts: int = 64) -> rd.Dataset:
+    """Dataset-resident equivalent of ``apply_merge_edges``: merge edges →
+    connected components (``distributed_components``, labels stay a
+    Dataset) → per-component representative = member with the earliest
+    created ``first_occ`` (tie-break: smaller id — the exact driver
+    ordering ``(occ.get(node, '￿'), node)``) → decisions' canonical_id
+    remapped via one left shuffle join.  The driver never sees a label map,
+    an edge list or the decisions table."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import shuffle_hash_join
+    from ..stages.partition import partitioned_groupby
+    from ..state.unionfind import distributed_components
+
+    comps = distributed_components(edges_ds, nparts=nparts)
+
+    # occ: min first_occ per CREATED canonical_id (per-batch combiner +
+    # coarse keyed min — mirrors created.groupby(canonical_id).first_occ.min())
+    def created_occ_partial(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("decision"), "create"))
+        tbl = pa.table({"node": kept.column("canonical_id"),
+                        "occ": kept.column("first_occ")})
+        agg = tbl.group_by("node").aggregate([("occ", "min")])
+        return pa.table({"node": agg.column("node"),
+                         "occ": agg.column("occ_min")})
+
+    occ = dec.map_batches(created_occ_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def occ_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["occ"].min()
+
+    occ = partitioned_groupby(occ, "node", occ_min, nparts=nparts)
+
+    st = {"node": pa.string(), "canonical": pa.string()}
+    ot = {"node": pa.string(), "occ": pa.string()}
+    j = shuffle_hash_join(comps, occ, on="node", nparts=nparts,
+                          ltypes=st, rtypes=ot, how="left")
+
+    def fill_occ(batch: pa.Table) -> pa.Table:
+        o = batch.column("occ")
+        if o.type != pa.string():  # empty merge partitions degrade to null
+            o = o.cast(pa.string())
+        # missing occ (non-created member) sorts LAST — same "￿" sentinel
+        # as the driver path
+        o = pc.if_else(pc.is_null(o), pa.scalar("￿"), o)
+        cols = {"node": batch.column("node"),
+                "canonical": batch.column("canonical"), "occ": o}
+        return pa.table({k: (v if v.type == pa.string()
+                             else v.cast(pa.string()))
+                         for k, v in cols.items()})
+
+    j = j.map_batches(fill_occ, batch_format="pyarrow").materialize()
+
+    def rep_of_root(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["canonical", "occ", "node"], kind="mergesort")
+        df = df.drop_duplicates("canonical")
+        return pd.DataFrame({"canonical": df["canonical"].to_numpy(),
+                             "rep": df["node"].to_numpy()})
+
+    reps = partitioned_groupby(j, "canonical", rep_of_root, nparts=nparts)
+
+    jt = {"node": pa.string(), "canonical": pa.string(), "occ": pa.string()}
+    rt = {"canonical": pa.string(), "rep": pa.string()}
+    remap = shuffle_hash_join(j, reps, on="canonical", nparts=nparts,
+                              ltypes=jt, rtypes=rt)  # node, canonical, occ, rep
+    remap = remap.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "rep": t.column("rep")}),
+        batch_format="pyarrow")
+
+    from ..stages.disambiguate import DECISION_SCHEMA
+
+    dtypes = dict(zip(DECISION_SCHEMA.names, DECISION_SCHEMA.types))
+    mt = {"node": pa.string(), "rep": pa.string()}
+    dec2 = shuffle_hash_join(dec, remap, on="canonical_id", right_on="node",
+                             nparts=nparts, ltypes=dtypes, rtypes=mt,
+                             how="left")
+
+    def apply_rep(batch: pa.Table) -> pa.Table:
+        rep = batch.column("rep")
+        canon = pc.if_else(pc.is_null(rep), batch.column("canonical_id"), rep)
+        cols = {c: batch.column(c) for c in DECISION_SCHEMA.names}
+        cols["canonical_id"] = canon
+        return pa.table(cols)
+
+    return dec2.map_batches(apply_rep, batch_format="pyarrow") \
+        .map_batches(_cast_to_types(dtypes), batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
+_ENTITY_CREATE_TIME = pd.Timestamp("2024-06-01")
+
+
+def _entities_from_created(created: pd.DataFrame) -> pd.DataFrame:
+    """Representative created rows → entity-table rows (shared projection
+    of the driver and distributed entity builds)."""
+    return pd.DataFrame({
+        "id": created["canonical_id"],
+        "name": created["name"],
+        "type": created["type"],
+        "aliases": created["aliases_json"].map(
+            lambda s: json.loads(s) if isinstance(s, str) else []),
+        "definition": created["definition"],
+        "attributes": created["attributes"],
+        "source": "pipeline-created",
+        "create_time": _ENTITY_CREATE_TIME,
+    })
+
+
+def _not_owner_flags(created: pd.DataFrame) -> list[bool]:
+    from ..functions.hashing import generate_entity_id as _gen_id
+
+    return [cid != _gen_id(n, t)
+            for cid, n, t in zip(created["canonical_id"], created["name"],
+                                 created["type"])]
+
+
+def build_entities_ds(dec: rd.Dataset, nparts: int = 64) -> rd.Dataset:
+    """Distributed entity-table build: one coarse keyed dedup on
+    canonical_id (representative = owner mention first, then earliest
+    corpus occurrence, then sig — the exact driver ordering), projected to
+    the entity schema and unioned with the (tiny) seed KB, seed winning id
+    collisions.  Replaces the pandas build in ``run_kg_pipeline`` for
+    beyond-driver decision tables."""
+    import pyarrow.compute as pc
+
+    from ..stages.partition import dedup_first, partitioned_groupby
+
+    created = dec.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("decision"), "merge")),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # aliases ride through the keyed dedup as JSON STRINGS (list-valued
+    # cells don't survive the pandas-block round trip of the coarse
+    # partitioned shuffle); the list<string> column is materialized in the
+    # final Arrow projection below
+    def rep_per_canonical(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_not_owner=_not_owner_flags(df))
+        df = df.sort_values(["canonical_id", "_not_owner", "first_occ",
+                             "sig"], kind="mergesort")
+        df = df.drop_duplicates("canonical_id")
+        return pd.DataFrame({
+            "id": df["canonical_id"].to_numpy(),
+            "name": df["name"].to_numpy(),
+            "type": df["type"].to_numpy(),
+            "aliases_json": df["aliases_json"].to_numpy(),
+            "definition": df["definition"].to_numpy(),
+            "attributes": df["attributes"].to_numpy(),
+            "source": "pipeline-created",
+            "create_time": _ENTITY_CREATE_TIME,
+            "_prio": 1,
+        })
+
+    created_ents = partitioned_groupby(created, "canonical_id",
+                                       rep_per_canonical, nparts=nparts)
+    seed_df = pd.DataFrame(seed_entities_table())
+    seed_df["aliases_json"] = seed_df["aliases"].map(
+        lambda a: json.dumps(list(a), ensure_ascii=False))
+    seed_df = seed_df.drop(columns=["aliases"]).assign(_prio=0)
+    # normalize both sides to Arrow blocks with one declared schema (heals
+    # the empty-partition dtype degradation, identical column order)
+    ent_types = {
+        "id": pa.string(), "name": pa.string(), "type": pa.string(),
+        "aliases_json": pa.string(), "definition": pa.string(),
+        "attributes": pa.string(), "source": pa.string(),
+        "create_time": pa.timestamp("ns"), "_prio": pa.int64(),
+    }
+    created_ents = created_ents.map_batches(
+        _cast_to_types(ent_types), batch_format="pyarrow")
+    seed_ds = rd.from_pandas(seed_df[list(ent_types)]).map_batches(
+        _cast_to_types(ent_types), batch_format="pyarrow")
+    ents = dedup_first(seed_ds.union(created_ents), "id",
+                       nparts=max(8, nparts // 4), sort_by=["_prio"])
+    ents = ents.map_batches(_cast_to_types(ent_types),
+                            batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        aliases = pa.array(
+            [json.loads(s) if isinstance(s, str) and s else []
+             for s in batch.column("aliases_json").to_pylist()],
+            pa.list_(pa.string()))
+        return pa.table({
+            "id": batch.column("id"),
+            "name": batch.column("name"),
+            "type": batch.column("type"),
+            "aliases": aliases,
+            "definition": batch.column("definition"),
+            "attributes": batch.column("attributes"),
+            "source": batch.column("source"),
+            "create_time": batch.column("create_time"),
+        })
+
+    return ents.map_batches(finish, batch_format="pyarrow")
+
+
+def canonicalize_distributed(triples: rd.Dataset, decisions: rd.Dataset,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             nparts: int = 64) -> dict:
+    """Fully Dataset-resident canonicalization + rewrite: the flagship's
+    scale path (VERDICT r2 #1).  decisions stay a Dataset through (1) the
+    sig dedup, (2) round-2 merge-edge generation
+    (``distributed_round2_edges(collect=False)``), (3) components +
+    representative remap (``_remap_decisions_distributed``), (4) the edge
+    rewrite (two shuffle joins, ``rewrite_edges_join``) and (5) the entity
+    build (``build_entities_ds``).  The driver sees only counts.  Scales
+    the reference's whole /auto-decide KB loop
+    (services/disambiguation.py:120-166); byte-identical to the driver path
+    (pytest equivalence in tests/test_kg_distributed.py)."""
+    from ..stages.disambiguate import DECISION_SCHEMA
+    from .round2 import distributed_round2_edges
+
+    dtypes = dict(zip(DECISION_SCHEMA.names, DECISION_SCHEMA.types))
+    dec = dedup_first(decisions, "sig", nparts=nparts,
+                      sort_by=["first_occ"]) \
+        .map_batches(_cast_to_types(dtypes), batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    if cfg.round2_dedup:
+        edges_r2 = distributed_round2_edges(dec, cfg,
+                                            collect=False).materialize()
+        if edges_r2.count():
+            dec = _remap_decisions_distributed(dec, edges_r2,
+                                               nparts=nparts).materialize()
+    sig_map = dec.select_columns(["sig", "canonical_id"])
+    edges_raw = rewrite_edges_join(triples, sig_map, nparts=nparts)
+    edges = _dedup_edges(edges_raw)
+    entities = build_entities_ds(dec, nparts=nparts)
+    return {"decisions_ds": dec, "edges": edges, "entities_ds": entities}
+
+
+def _dedup_edges(edges_raw: rd.Dataset) -> rd.Dataset:
+    """Exact (src, dst, rel) edge dedup: per-batch combiner + one coarse
+    keyed shuffle (shared by the driver and distributed rewrites)."""
+    edges = (
+        edges_raw.map_batches(_edge_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .select_columns(["edge_key", "src_id", "dst_id", "rel_type"])
+        .map_batches(_dedup_partial_edges, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    return dedup_first(edges, "edge_key", nparts=64).select_columns(
+        ["src_id", "dst_id", "rel_type"])
+
+
 def make_decisions(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
                    concurrency: int | tuple = (1, 4)) -> rd.Dataset:
     """triples → mentions → unique-mention collapse → per-mention decisions,
@@ -571,20 +832,42 @@ def make_decisions(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
 
 
 def canonicalize_and_rewrite(triples: rd.Dataset, decisions: rd.Dataset,
-                             cfg: EngineConfig = DEFAULT_CONFIG):
-    """decisions → (dec_df, canonical edges Dataset): collect + dedup the
-    (KB-proportional) decisions table, round-2 canonicalization, then the
-    sig→canonical edge rewrite — broadcast below
-    ``cfg.canonical_map_broadcast_max`` rows, shuffle hash joins beyond
-    (equivalence-tested) — and the exact edge dedup.  Shared by
-    ``run_kg_pipeline`` and the checkpointed runner so the two paths
-    cannot drift.
+                             cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """decisions → canonical edges + final decisions + entities.
+
+    Two equivalence-tested execution modes (``cfg.canonicalize``):
+
+    - **driver** — collect + dedup the (KB-proportional) decisions table,
+      round-2 canonicalization in memory, then the sig→canonical edge
+      rewrite: broadcast below ``cfg.canonical_map_broadcast_max`` rows,
+      shuffle hash joins beyond.  Returns ``{"decisions_df", "edges",
+      "entities_df"}``.
+    - **distributed** — ``canonicalize_distributed``: decisions never leave
+      the Datasets (sig dedup → Dataset round-2 edges → components +
+      representative remap → join rewrite → distributed entity build).
+      Returns ``{"decisions_ds", "edges", "entities_ds"}``.
+    - **auto** (default) — driver while the decision count fits
+      ``cfg.canonicalize_driver_max``, distributed beyond.
+
+    Shared by ``run_kg_pipeline`` and the checkpointed runner so the two
+    runners cannot drift.
 
     Residual duplicate sigs from the shuffle-free unique stage
     (exact=False) agree in every content column but carry per-batch
-    first_occ minima — sort on (sig, first_occ) so the kept row is the
-    global-min occurrence regardless of block arrival order (round-2
-    representative selection depends on it)."""
+    first_occ minima — both modes keep the global-min occurrence row per
+    sig regardless of block arrival order (round-2 representative
+    selection depends on it)."""
+    mode = cfg.canonicalize
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"canonicalize must be auto|driver|distributed, "
+                         f"got {mode!r}")
+    if mode == "auto":
+        decisions = decisions.materialize()
+        mode = ("driver" if decisions.count() <= cfg.canonicalize_driver_max
+                else "distributed")
+    if mode == "distributed":
+        return canonicalize_distributed(triples, decisions, cfg)
+
     dec_df = decisions.to_pandas()
     dec_df = (dec_df.sort_values(["sig", "first_occ"], kind="mergesort")
               .drop_duplicates("sig").reset_index(drop=True))
@@ -606,16 +889,32 @@ def canonicalize_and_rewrite(triples: rd.Dataset, decisions: rd.Dataset,
             functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
             batch_format="pyarrow", batch_size=cfg.score_batch_size,
         )
-    edges = (
-        edges_raw.map_batches(_edge_key, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        .select_columns(["edge_key", "src_id", "dst_id", "rel_type"])
-        .map_batches(_dedup_partial_edges, batch_format="pyarrow",
-                     zero_copy_batch=True)
-    )
-    edges = dedup_first(edges, "edge_key", nparts=64).select_columns(
-        ["src_id", "dst_id", "rel_type"])
-    return dec_df, edges
+    edges = _dedup_edges(edges_raw)
+    return {"decisions_df": dec_df, "edges": edges,
+            "entities_df": build_entities_df(dec_df)}
+
+
+def build_entities_df(dec_df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side entity table: seed KB ∪ created entities (dedup by
+    canonical_id, deterministic first-by-(owner, first_occ, sig) — the
+    reference's MERGE-upsert last-wins semantics collapse to first-wins
+    under a stable sort, SURVEY.md S6).  ``build_entities_ds`` is the
+    Dataset-resident equivalent (identical ordering rules)."""
+    created = dec_df[dec_df["decision"] != "merge"].copy()
+    # representative row per canonical id: prefer the OWNER mention (the one
+    # whose name/type actually derive the id — M12 contract id ==
+    # generate_entity_id(name, type); round-2 remapping can attach other
+    # mentions' rows to this id), then earliest corpus occurrence, then sig —
+    # deterministic and parallelism-stable
+    created["_not_owner"] = _not_owner_flags(created)
+    created = created.sort_values(
+        ["canonical_id", "_not_owner", "first_occ", "sig"], kind="mergesort")
+    created = created.drop_duplicates("canonical_id").drop(
+        columns=["_not_owner"])
+    seed_df = pd.DataFrame(seed_entities_table())
+    entities = pd.concat([seed_df, _entities_from_created(created)],
+                         ignore_index=True)
+    return entities.drop_duplicates("id", keep="first")
 
 
 def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -624,11 +923,13 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
 
     ``concurrency`` only sizes ACTOR-POOL stages (``decisions_stage(...,
     use_actors=True)`` for model-backed encoders); the default stateless-task
-    stages scale with the cluster's CPUs and ignore it.  Returns dict of result Datasets / frames:
-    ``triples`` (url-level provenance edges), ``edges`` (deduped canonical
-    triples), ``decisions`` (unique-mention audit log = the reference's
-    DisambiguationHistory, SURVEY.md S10), ``entities`` (canonical entity
-    table: seed KB + created)."""
+    stages scale with the cluster's CPUs and ignore it.  Returns dict of
+    result Datasets / frames: ``triples`` (url-level provenance edges),
+    ``edges`` (deduped canonical triples), ``decisions`` (unique-mention
+    audit log = the reference's DisambiguationHistory, SURVEY.md S10), and —
+    mode-dependent (``cfg.canonicalize``) — ``decisions_df``/``entities_df``
+    (driver mode, pandas) or ``decisions_ds``/``entities_ds`` (distributed
+    mode, Datasets)."""
     extracted = extract_stage(pages, cfg)
     triples = triples_stage(extracted, cfg)
     # Two consumers read `triples` (mention path and edge-rewrite path);
@@ -639,53 +940,11 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     # them back, which also makes this the resume point.
     triples = triples.materialize()
     decisions = make_decisions(triples, cfg, concurrency)
-    dec_df, edges = canonicalize_and_rewrite(triples, decisions, cfg)
-
-    # entities table: seed KB ∪ created entities (dedup by canonical_id,
-    # deterministic first-by-sig — the reference's MERGE-upsert last-wins
-    # semantics collapse to first-wins under a stable sort, SURVEY.md S6)
-    created = dec_df[dec_df["decision"] != "merge"].copy()
-    # representative row per canonical id: prefer the OWNER mention (the one
-    # whose name/type actually derive the id — M12 contract id ==
-    # generate_entity_id(name, type); round-2 remapping can attach other
-    # mentions' rows to this id), then earliest corpus occurrence, then sig —
-    # deterministic and parallelism-stable
-    from ..functions.hashing import generate_entity_id as _gen_id
-
-    created["_not_owner"] = [
-        cid != _gen_id(n, t)
-        for cid, n, t in zip(created["canonical_id"], created["name"],
-                             created["type"])
-    ]
-    created = created.sort_values(
-        ["canonical_id", "_not_owner", "first_occ", "sig"], kind="mergesort")
-    created = created.drop_duplicates("canonical_id").drop(
-        columns=["_not_owner"])
-    seed_df = pd.DataFrame(seed_entities_table())
-    created_df = pd.DataFrame(
-        {
-            "id": created["canonical_id"],
-            "name": created["name"],
-            "type": created["type"],
-            "aliases": created["aliases_json"].map(
-                lambda s: json.loads(s) if isinstance(s, str) else []),
-            "definition": created["definition"],
-            "attributes": created["attributes"],
-            "source": "pipeline-created",
-            "create_time": pd.Timestamp("2024-06-01"),
-        }
-    )
-    entities = pd.concat([seed_df, created_df], ignore_index=True)
-    entities = entities.drop_duplicates("id", keep="first")
-
-    return {
-        "extracted": extracted,
-        "triples": triples,
-        "decisions": decisions,
-        "decisions_df": dec_df,
-        "edges": edges,
-        "entities_df": entities,
-    }
+    out = canonicalize_and_rewrite(triples, decisions, cfg)
+    out["extracted"] = extracted
+    out["triples"] = triples
+    out["decisions"] = decisions
+    return out
 
 
 def write_graph_outputs(out: dict, out_dir: str) -> dict:
@@ -703,12 +962,20 @@ def write_graph_outputs(out: dict, out_dir: str) -> dict:
     paths["edges"] = edges_dir
 
     ents_dir = os.path.join(out_dir, "entities")
-    ents = out["entities_df"].sort_values("id").reset_index(drop=True)
-    rd.from_pandas(ents).write_parquet(ents_dir)
+    if "entities_df" in out:
+        ents = rd.from_pandas(
+            out["entities_df"].sort_values("id").reset_index(drop=True))
+    else:  # distributed canonicalization: already a Dataset
+        ents = out["entities_ds"].sort("id")
+    ents.write_parquet(ents_dir)
     paths["entities"] = ents_dir
 
     dec_dir = os.path.join(out_dir, "decisions")
-    dec = out["decisions_df"].sort_values("sig").reset_index(drop=True)
-    rd.from_pandas(dec).write_parquet(dec_dir)
+    if "decisions_df" in out:
+        dec = rd.from_pandas(
+            out["decisions_df"].sort_values("sig").reset_index(drop=True))
+    else:
+        dec = out["decisions_ds"].sort("sig")
+    dec.write_parquet(dec_dir)
     paths["decisions"] = dec_dir
     return paths

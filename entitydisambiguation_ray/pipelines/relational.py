@@ -120,11 +120,27 @@ WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
 
 # --------------------------------------------------------------- S6: upsert last-wins
 
+# Per-key row count beyond which a key is routed to its own dedicated
+# partition in the keyed-shuffle operators below (upsert / sessions / as-of
+# / range join).  Isolation never changes results (stages/partition.py
+# docstring); the pre-count is a one-column combiner pass.
+HOT_KEY_ROWS = 250_000
+
+
+def _hot_users(sf_dir: str) -> dict:
+    from ..stages.partition import hot_group_keys
+
+    return hot_group_keys(_pq(sf_dir, "events", ["user_id"]),
+                          "user_id", HOT_KEY_ROWS)
+
+
 def upsert_last_wins(sf_dir: str):
     """MERGE-by-id last-write-wins (neo4j_database.py:130-177) over the
     events stream: last event per user by (ts, event_id).  Coarse
     hash-partitioned (stages/partition.py) — per-key ``map_groups`` costs
-    one pandas call per user, catastrophic at web-scale key counts."""
+    one pandas call per user, catastrophic at web-scale key counts.
+    Pathological users are isolated into dedicated partitions
+    (``hot_group_keys``)."""
     from ..stages.partition import partitioned_groupby
 
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
@@ -137,8 +153,8 @@ def upsert_last_wins(sf_dir: str):
                                   "event_type": "last_event_type"})[
             ["user_id", "last_event_id", "last_event_type"]]
 
-    return partitioned_groupby(ds, "user_id", last_per_user,
-                               nparts=16).sort("user_id")
+    return partitioned_groupby(ds, "user_id", last_per_user, nparts=16,
+                               isolate_hot=_hot_users(sf_dir)).sort("user_id")
 
 
 SQL_UPSERT_LAST_WINS = """
@@ -623,8 +639,9 @@ def session_window(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return partitioned_groupby(ds, "user_id", sessions,
-                               nparts=16).sort(["user_id", "session_id"])
+    return partitioned_groupby(
+        ds, "user_id", sessions, nparts=16,
+        isolate_hot=_hot_users(sf_dir)).sort(["user_id", "session_id"])
 
 
 SQL_SESSION_WINDOW = """
@@ -812,6 +829,10 @@ def shipping_priority(sf_dir: str):
     def part_topk(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby(["l_orderkey", "o_orderdate"],
                          as_index=False)["revenue"].sum()
+        # rank by the ROUNDED revenue (the oracle's ORDER BY key) with the
+        # same o_orderkey tiebreak — pruning on unrounded values could drop
+        # an order that rounds into a tie with the partition's 10th
+        agg["revenue"] = agg["revenue"].round(2)
         agg = agg.sort_values(["revenue", "l_orderkey"],
                               ascending=[False, True], kind="mergesort")
         return agg.head(10)
@@ -820,7 +841,6 @@ def shipping_priority(sf_dir: str):
                                nparts=16).to_pandas()
     if cand.empty:
         return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "revenue"])
-    cand["revenue"] = cand["revenue"].round(2)
     cand = cand.rename(columns={"l_orderkey": "o_orderkey"})
     cand = cand.sort_values(["revenue", "o_orderkey"],
                             ascending=[False, True], kind="mergesort").head(10)
@@ -887,8 +907,10 @@ def asof_join(sf_dir: str):
         m = m.rename(columns={"o_orderdate": "last_order_date"})
         return m[["event_id", "user_id", "ts", "last_order_date"]]
 
-    return partitioned_groupby(both, "user_id", asof_part,
-                               nparts=16).sort("event_id")
+    # hot-USER isolation (counted on the dominant events side; isolation is
+    # placement-only, so which keys are isolated never affects results)
+    return partitioned_groupby(both, "user_id", asof_part, nparts=16,
+                               isolate_hot=_hot_users(sf_dir)).sort("event_id")
 
 
 SQL_ASOF_JOIN = """
@@ -922,21 +944,23 @@ def range_join(sf_dir: str):
     def window_counts(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = df["ts"].astype("int64").to_numpy()
-        out = np.empty(len(df), dtype=np.int64)
-        start = 0
+        n = len(df)
+        out = np.empty(n, dtype=np.int64)
         uvals = df["user_id"].to_numpy()
-        for end in range(1, len(df) + 1):
-            if end == len(df) or uvals[end] != uvals[start]:
-                seg = ts[start:end]
-                lo = np.searchsorted(seg, seg - RANGE_WINDOW_US, side="left")
-                hi = np.searchsorted(seg, seg, side="left")
-                out[start:end] = hi - lo
-                start = end
+        # vectorized segment boundaries (user changes) — no per-row scan
+        bounds = np.flatnonzero(uvals[1:] != uvals[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - RANGE_WINDOW_US, side="left")
+            hi = np.searchsorted(seg, seg, side="left")
+            out[s:e] = hi - lo
         return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
                              "n_prior_1h": out})
 
-    return partitioned_groupby(ds, "user_id", window_counts,
-                               nparts=16).sort("event_id")
+    return partitioned_groupby(ds, "user_id", window_counts, nparts=16,
+                               isolate_hot=_hot_users(sf_dir)).sort("event_id")
 
 
 SQL_RANGE_JOIN = """
@@ -1020,16 +1044,23 @@ def dataset_split(sf_dir: str):
     """Deterministic hash-based train/test assignment (the standard
     training-data split: stable across runs, machines and partitioning —
     md5 of the id, first 4 hex digits < 0xCCCC ≈ 80% train).  Pure
-    per-row map, no shuffle."""
+    per-row map, no shuffle.  The id→string cast is a vectorized Arrow
+    kernel and the per-id cost is one C-backed ``md5().digest()`` — the
+    hexdigest/int-parse round trip this replaced tripled the per-row
+    interpreter work."""
     import hashlib
+    import numpy as np
 
     ds = _pq(sf_dir, "documents", ["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        splits = []
-        for d in batch.column("doc_id").to_pylist():
-            h = hashlib.md5(str(d).encode()).hexdigest()
-            splits.append("train" if int(h[:4], 16) < 0xCCCC else "test")
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        # first 4 hex digits == first 2 digest bytes, big-endian
+        codes = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:2], "big")
+             for s in ids),
+            dtype=np.int64, count=len(ids))
+        splits = np.where(codes < 0xCCCC, "train", "test")
         return pa.table({"doc_id": batch.column("doc_id"),
                          "split": pa.array(splits, pa.string())})
 

@@ -100,9 +100,14 @@ def _explode_tokens(batch: pa.Table, side: str) -> pa.Table:
 def distributed_round2_edges(
     decisions: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     df_cap: int = ROUND2_DF_HARD, nparts: int = 32,
-) -> pd.DataFrame:
-    """decisions Dataset (DECISION_SCHEMA columns) → distinct merge-edge
-    DataFrame (a, b)."""
+    collect: bool = True,
+) -> pd.DataFrame | rd.Dataset:
+    """decisions Dataset (DECISION_SCHEMA columns) → distinct merge edges
+    (a, b): a driver DataFrame with ``collect=True`` (default — edge lists
+    are cluster-mass-sized and usually driver-comfortable), or a
+    Dataset with the distinct-pair dedup run as a coarse partitioned
+    shuffle (``collect=False``, the fully Dataset-resident canonicalization
+    path in kg.canonicalize_and_rewrite)."""
     import pyarrow.compute as pc
 
     if not token_prune_exact(cfg):
@@ -223,12 +228,36 @@ def distributed_round2_edges(
             logging.getLogger(__name__).warning(
                 "round-2 partition dropped %d candidate pairs via tokens "
                 "with df > %d", dropped, df_cap)
+        if not out:
+            # typed empty (object-dtype empties become Arrow null columns
+            # and poison downstream schema unification)
+            return pd.DataFrame({"a": pd.array([], dtype="string"),
+                                 "b": pd.array([], dtype="string")})
         return pd.DataFrame(out, columns=["a", "b"])
 
-    edges = partitioned_groupby(both, "token", pairs_in_partition,
-                                nparts=nparts).to_pandas()
-    if edges.empty or "a" not in edges.columns:
-        # all partitions empty → Ray drops the schema; restore the contract
-        return pd.DataFrame(columns=["a", "b"])
-    # a pair can re-form via tokens in different partitions: distinct
-    return edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    edges_ds = partitioned_groupby(both, "token", pairs_in_partition,
+                                   nparts=nparts)
+    if collect:
+        edges = edges_ds.to_pandas()
+        if edges.empty or "a" not in edges.columns:
+            # all partitions empty → Ray drops the schema; restore the contract
+            return pd.DataFrame(columns=["a", "b"])
+        # a pair can re-form via tokens in different partitions: distinct
+        edges = edges.drop_duplicates(["a", "b"]).reset_index(drop=True)
+        return edges.astype({"a": object, "b": object})
+    # Dataset-resident distinct: pair-keyed coarse dedup, no driver collect
+    import pyarrow.compute as pc2
+
+    from ..stages.partition import dedup_first
+
+    def pkey(batch: pa.Table) -> pa.Table:
+        key = pc2.binary_join_element_wise(
+            pc2.cast(batch.column("a"), pa.string()),
+            pc2.cast(batch.column("b"), pa.string()), "\x1f")
+        return pa.table({"a": pc2.cast(batch.column("a"), pa.string()),
+                         "b": pc2.cast(batch.column("b"), pa.string()),
+                         "pair_key": key})
+
+    keyed = edges_ds.map_batches(pkey, batch_format="pyarrow")
+    return dedup_first(keyed, "pair_key", nparts=max(8, nparts // 4)) \
+        .drop_columns(["pair_key"])

@@ -47,21 +47,51 @@ def count_hot_keys(ds: rd.Dataset, key: str, threshold: int,
     """Pre-pass for ``shuffle_hash_join(salt_hot=...)``: per-batch count
     combiner → keyed sum → {key_value: n_salt} for keys whose LEFT-side row
     count exceeds ``threshold``.  The returned dict is hot-keys-only
-    (bounded by skew, not cardinality) and rides in task closures."""
+    (bounded by skew, not cardinality) and rides in task closures.
+
+    NULL keys: ``hash_key_rows`` sends every null row to ONE partition and
+    pandas merge matches NaN==NaN, so a heavy null mass is a real skew
+    hazard — but it cannot be salted through the value-keyed dict (NaN
+    lookups don't hash stably).  Nulls are therefore COUNTED separately
+    here and reported with a loud warning when they exceed the threshold,
+    pointing at the documented pre-filter-nulls contract."""
     import math
 
     def partial(batch: pa.Table) -> pa.Table:
-        tbl = batch.group_by(key).aggregate([(key, "count")])
+        batch = batch.select([key])  # drop_null must only see the key
+        col = batch.column(key)
+        n_null = col.null_count
+        tbl = batch.drop_null().group_by(key).aggregate([([], "count_all")])
         # select by NAME — pyarrow's group_by output column order is an
         # implementation detail that has differed across versions
-        return pa.table({key: tbl.column(key),
-                         "n": tbl.column(f"{key}_count")})
+        out = pa.table({key: tbl.column(key),
+                        "n": tbl.column("count_all"),
+                        "n_null": pa.array(
+                            np.zeros(tbl.num_rows, dtype=np.int64))})
+        if n_null:
+            marker = pa.table({
+                key: _pad_array(1, col.type),
+                "n": pa.array([0], pa.int64()),
+                "n_null": pa.array([n_null], pa.int64())})
+            out = pa.concat_tables([out, marker])
+        return out
 
     from ray.data.aggregate import Sum
 
     counts = (ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
-              .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas())
+              .groupby(key).aggregate(Sum("n", alias_name="n"),
+                                      Sum("n_null", alias_name="n_null"))
+              .to_pandas())
+    total_null = int(counts["n_null"].sum())
+    if total_null > threshold:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "count_hot_keys(%r): %d NULL-key rows exceed the hot threshold "
+            "%d; null keys all hash to one partition and cannot be salted — "
+            "pre-filter nulls (shuffle_hash_join's documented contract) or "
+            "accept the skew", key, total_null, threshold)
     hot = counts.loc[counts["n"] > threshold]
     return {k: int(min(salt_max, math.ceil(n / threshold)))
             for k, n in zip(hot[key], hot["n"])}
@@ -221,6 +251,10 @@ def shuffle_hash_join(
     for reserved in ("_side", "_part"):
         if reserved in lcols or reserved in rout:
             raise ValueError(f"column name {reserved!r} is reserved")
+    for c in lcols + rout:
+        if c.startswith("_kc"):
+            raise ValueError(
+                f"column name {c!r} is reserved (_kc* = key-code scratch)")
     # unified schema: left cols + right key cols (as left names/types) +
     # renamed right value cols
     unified: list[tuple[str, pa.DataType]] = [(c, ltypes[c]) for c in lcols]
@@ -286,21 +320,45 @@ def shuffle_hash_join(
     tagged = left.map_batches(prep(0), batch_format="pyarrow").union(
         right.map_batches(prep(1), batch_format="pyarrow"))
 
+    str_keys = [k for k in lkeys
+                if pa.types.is_string(ltypes[k])
+                or pa.types.is_large_string(ltypes[k])]
+
     def merge(tbl: pa.Table) -> pd.DataFrame:
+        # String join keys: dictionary-encode ONCE across both sides (one
+        # shared dictionary → comparable integer codes) and merge on the
+        # int32 codes instead of Python-object strings — pandas hashes ints
+        # ~an order of magnitude faster.  Equal strings get equal codes, so
+        # the result is identical (nulls become NaN codes, matching pandas'
+        # NaN==NaN merge semantics for object keys).
+        mkeys = list(lkeys)
+        for i, k in enumerate(str_keys):
+            col = tbl.column(k)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()  # per-chunk dicts aren't comparable
+            codes = col.dictionary_encode().indices
+            tbl = tbl.append_column(f"_kc{i}", pc.cast(codes, pa.int32()))
+            mkeys[lkeys.index(k)] = f"_kc{i}"
+        code_cols = [c for c in mkeys if c.startswith("_kc")]
         side = tbl.column("_side")
         lmask = pc.equal(side, 0)
         # split FIRST, then convert: each side's pandas frame keeps its own
         # dtypes (the other side's padded null columns never reach pandas)
-        ldf = tbl.filter(lmask).select(lcols).to_pandas()
-        rdf = tbl.filter(pc.invert(lmask)).select(lkeys + rout).to_pandas()
+        ldf = tbl.filter(lmask).select(lcols + code_cols).to_pandas()
+        rdf = tbl.filter(pc.invert(lmask)).select(
+            [c for c in mkeys if c not in code_cols] + code_cols
+            + rout).to_pandas()
         if how == "semi":
-            return ldf.merge(rdf[lkeys].drop_duplicates(), on=lkeys,
-                             how="inner")
+            out = ldf.merge(rdf[mkeys].drop_duplicates(), on=mkeys,
+                            how="inner")
+            return out.drop(columns=code_cols)
         if how == "anti":
-            m = ldf.merge(rdf[lkeys].drop_duplicates(), on=lkeys,
+            m = ldf.merge(rdf[mkeys].drop_duplicates(), on=mkeys,
                           how="left", indicator=True)
             return (m[m["_merge"] == "left_only"]
-                    .drop(columns=["_merge"]).reset_index(drop=True))
-        return ldf.merge(rdf, on=lkeys, how=how)
+                    .drop(columns=["_merge"] + code_cols)
+                    .reset_index(drop=True))
+        out = ldf.merge(rdf, on=mkeys, how=how)
+        return out.drop(columns=code_cols)
 
     return tagged.groupby("_part").map_groups(merge, batch_format="pyarrow")

@@ -39,20 +39,53 @@ def hash_partition_ids(batch: pa.Table, keys: list[str],
 
 
 def add_partition_column(batch: pa.Table, key: str, nparts: int,
-                         col: str = "_part") -> pa.Table:
+                         col: str = "_part",
+                         isolate: dict | None = None) -> pa.Table:
     parts = hash_partition_ids(batch, [key], nparts)
+    if isolate:
+        # hot keys get DEDICATED partitions beyond the hash range
+        iso = (pd.Series(batch.column(key).to_pandas())
+               .map(isolate).to_numpy())
+        mask = ~pd.isna(iso)
+        if mask.any():
+            parts = parts.copy()
+            parts[mask] = nparts + iso[mask].astype("int32")
     return batch.append_column(col, pa.array(parts, pa.int32()))
+
+
+def hot_group_keys(ds: rd.Dataset, key: str, threshold: int,
+                   max_isolated: int = 256) -> dict:
+    """Pre-pass for ``partitioned_groupby(isolate_hot=...)``: per-batch
+    count combiner → keyed sum → {key_value: dedicated_partition_index} for
+    keys whose row count exceeds ``threshold`` (capped at the
+    ``max_isolated`` heaviest; deterministic ordering).  The dict is
+    hot-keys-only — bounded by skew, not cardinality."""
+    from .join import count_hot_keys
+
+    hot = count_hot_keys(ds, key, threshold, salt_max=1)
+    keys = sorted(hot)[:max_isolated]
+    return {k: i for i, k in enumerate(keys)}
 
 
 def partitioned_groupby(
     ds: rd.Dataset, key: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
-    nparts: int = 64,
+    nparts: int = 64, isolate_hot: dict | None = None,
 ) -> rd.Dataset:
     """groupby(key) semantics executed as P coarse partitions; ``fn``
     receives one partition (all rows of many keys) and must itself operate
-    per-key (e.g. ``df.drop_duplicates(key)`` or ``df.groupby(key)``)."""
+    per-key (e.g. ``df.drop_duplicates(key)`` or ``df.groupby(key)``).
+
+    ``isolate_hot`` ({key_value: dedicated_partition_index}, from
+    ``hot_group_keys``): skew handling for HOLISTIC per-key kernels
+    (sessions, as-of, windows) whose keys cannot be salt-SPLIT without
+    changing semantics — each hot key is routed to its own partition beyond
+    the hash range, so a pathological key no longer convoys with the 1/P of
+    the key space that hashes beside it.  Output is identical with or
+    without isolation (every key still sees all its rows in one ``fn``
+    call); the residual floor is the hot key's own mass, which is the
+    irreducible minimum for a holistic kernel."""
     tagged = ds.map_batches(
-        lambda b: add_partition_column(b, key, nparts),
+        lambda b: add_partition_column(b, key, nparts, isolate=isolate_hot),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 

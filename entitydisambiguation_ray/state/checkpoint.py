@@ -126,13 +126,54 @@ def run_partitioned_stage(
         files = sorted(os.listdir(pdir))
         import pyarrow.parquet as pq
 
+        pq_files = [f for f in files if f.endswith(".parquet")]
         rows = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows
-                   for f in files if f.endswith(".parquet"))
+                   for f in pq_files)
+        bytes_out = sum(os.path.getsize(os.path.join(pdir, f))
+                        for f in pq_files)
         store.commit(PartitionManifest(
             stage=stage, part=p, input_fingerprint=input_fingerprint,
             rows=rows, files=files,
             wall_s=round(time.perf_counter() - t0, 3),
-            counters={"rows": rows},
+            counters={"rows": rows, "bytes_out": bytes_out,
+                      "n_files": len(pq_files),
+                      **_stats_counters(ds)},
         ))
         dirs.append(pdir)
     return dirs
+
+
+def _stats_counters(ds) -> dict:
+    """Execution metrics for the lineage manifest, parsed from the executed
+    Dataset's ``stats()`` report (north rule: per-partition lineage +
+    METRICS): peak per-task heap and the object-store memory the stage's
+    output blocks occupied.  Best-effort — an unparsable stats format
+    degrades to no extra counters, never a failed commit."""
+    import re
+
+    try:
+        txt = ds.stats()
+    except Exception:
+        return {}
+    out: dict = {}
+    try:
+        peaks = [float(m) for m in re.findall(
+            r"Peak heap memory usage \(MiB\): [0-9.]+ min, ([0-9.]+) max",
+            txt)]
+        if peaks:
+            out["peak_heap_mib_max"] = max(peaks)
+        sizes = [int(m) for m in re.findall(
+            r"Output size bytes per block: [^\n]*?(?<![0-9])([0-9]+) total",
+            txt)]
+        if sizes:
+            # max across operators = the widest materialized exchange of
+            # the stage (the last operator is the parquet Write, whose
+            # output blocks are tiny result stubs)
+            out["peak_stage_bytes_object_store"] = max(sizes)
+        blocks = [int(m) for m in re.findall(
+            r"(\d+) blocks? produced in", txt)]
+        if blocks:
+            out["output_blocks"] = max(blocks)
+    except Exception:
+        pass
+    return out

@@ -104,9 +104,24 @@ def distributed_components(edges_ds, nparts: int = 64, max_rounds: int = 50):
     # sort-based shuffles emit ~one block per input block, so without the
     # rebound the block count TRIPLES per round and per-task overhead
     # dominates (measured 79→237→711 blocks, 40 s rounds on 80 edges).
-    labs = []  # one (node, label) Dataset per round; composed ONCE at the end
-    cur = edges_ds.map_batches(drop_selfloops, batch_format="pyarrow",
-                               zero_copy_batch=True) \
+    #
+    # Contract: EVERY node appearing in ``edges_ds`` appears in the output —
+    # including nodes whose only edges are self-loops (x, x).  Self-loops
+    # are dropped from propagation (they carry no information), but their
+    # endpoints are folded in as identity (node, node) label rows below, so
+    # a caller iterating the result sees the full node set.
+    e0 = edges_ds.repartition(nparts).materialize()  # consumed twice
+
+    def selfloop_labels(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("a"), batch.column("b")))
+        return pa.table({"node": kept.column("a").cast(pa.string()),
+                         "label": kept.column("a").cast(pa.string())})
+
+    self_labs = e0.map_batches(selfloop_labels, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    labs = [self_labs]  # (node, label) Datasets; composed ONCE at the end
+    cur = e0.map_batches(drop_selfloops, batch_format="pyarrow",
+                         zero_copy_batch=True) \
         .repartition(nparts).materialize()
     for _ in range(max_rounds):
         if cur.count() == 0:
@@ -132,7 +147,7 @@ def distributed_components(edges_ds, nparts: int = 64, max_rounds: int = 50):
         cur = nxt.map_batches(drop_selfloops, batch_format="pyarrow",
                               zero_copy_batch=True) \
             .repartition(nparts).materialize()
-    if not labs:  # no edges at all
+    if e0.count() == 0:  # no edges at all
         import ray.data as rd
 
         return rd.from_items([])
