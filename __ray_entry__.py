@@ -491,6 +491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": R.dataset_split,
         "shipping_priority": R.shipping_priority,
         "segment_stats": R.segment_stats,
+        "event_deltas": R.event_deltas,
+        "running_total": R.running_total,
+        "groupby_top3": R.groupby_top3,
         # text analysis (SQL-checked)
         "token_count": _q_token_count,
         "token_freq": R.token_freq,
@@ -559,6 +562,9 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": R.SQL_DATASET_SPLIT,
         "shipping_priority": R.SQL_SHIPPING_PRIORITY,
         "segment_stats": R.SQL_SEGMENT_STATS,
+        "event_deltas": R.SQL_EVENT_DELTAS,
+        "running_total": R.SQL_RUNNING_TOTAL,
+        "groupby_top3": R.SQL_GROUPBY_TOP3,
         "token_count": SQL_TOKEN_COUNT,
         "token_freq": R.SQL_TOKEN_FREQ,
         "quality_score": SQL_QUALITY,

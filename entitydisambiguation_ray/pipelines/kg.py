@@ -769,16 +769,31 @@ def build_entities_ds(dec: rd.Dataset, nparts: int = 64) -> rd.Dataset:
     return ents.map_batches(finish, batch_format="pyarrow")
 
 
+def _adaptive_nparts(n_rows: int, rows_per_part: int = 100_000,
+                     lo: int = 8, hi: int = 256) -> int:
+    """Partition count sized to the DATA, not a constant: each coarse
+    partition targets ~``rows_per_part`` rows.  Oversized nparts on small
+    inputs costs a fixed scheduling latency per empty partition (measured:
+    the 20k-page distributed canonicalization dropped 75→38 s when its
+    shuffles went from 64 fixed to size-matched partitions); undersized
+    nparts on big inputs blows per-partition memory.  ``hi`` caps driver
+    bookkeeping; at true cluster scale callers pass a larger cap."""
+    return max(lo, min(hi, -(-n_rows // rows_per_part)))
+
+
 def canonicalize_distributed(triples: rd.Dataset, decisions: rd.Dataset,
                              cfg: EngineConfig = DEFAULT_CONFIG,
-                             nparts: int = 64) -> dict:
+                             nparts: int | None = None) -> dict:
     """Fully Dataset-resident canonicalization + rewrite: the flagship's
     scale path (VERDICT r2 #1).  decisions stay a Dataset through (1) the
     sig dedup, (2) round-2 merge-edge generation
     (``distributed_round2_edges(collect=False)``), (3) components +
     representative remap (``_remap_decisions_distributed``), (4) the edge
-    rewrite (two shuffle joins, ``rewrite_edges_join``) and (5) the entity
-    build (``build_entities_ds``).  The driver sees only counts.  Scales
+    rewrite (broadcast of the bounded two-column sig map while it fits
+    ``cfg.canonical_map_broadcast_max``; two shuffle joins
+    (``rewrite_edges_join``) beyond) and (5) the entity build
+    (``build_entities_ds``).  The driver sees only counts and the bounded
+    sig-map projection.  Scales
     the reference's whole /auto-decide KB loop
     (services/disambiguation.py:120-166); byte-identical to the driver path
     (pytest equivalence in tests/test_kg_distributed.py)."""
@@ -786,24 +801,48 @@ def canonicalize_distributed(triples: rd.Dataset, decisions: rd.Dataset,
     from .round2 import distributed_round2_edges
 
     dtypes = dict(zip(DECISION_SCHEMA.names, DECISION_SCHEMA.types))
-    dec = dedup_first(decisions, "sig", nparts=nparts,
+    # decisions-proportional shuffles size to the decision count, the edge
+    # rewrite to the triple count.  decisions is pinned first: the count
+    # and the dedup are two consumers, and re-running the disambiguation
+    # lineage per consumer would double the most expensive stage (triples
+    # is already materialized/parquet-backed in both runners).
+    decisions = decisions.materialize()
+    np_dec = nparts or _adaptive_nparts(decisions.count())
+    dec = dedup_first(decisions, "sig", nparts=np_dec,
                       sort_by=["first_occ"]) \
         .map_batches(_cast_to_types(dtypes), batch_format="pyarrow",
                      zero_copy_batch=True).materialize()
     if cfg.round2_dedup:
-        edges_r2 = distributed_round2_edges(dec, cfg,
-                                            collect=False).materialize()
+        edges_r2 = distributed_round2_edges(
+            dec, cfg, collect=False, nparts=np_dec).materialize()
         if edges_r2.count():
             dec = _remap_decisions_distributed(dec, edges_r2,
-                                               nparts=nparts).materialize()
+                                               nparts=np_dec).materialize()
     sig_map = dec.select_columns(["sig", "canonical_id"])
-    edges_raw = rewrite_edges_join(triples, sig_map, nparts=nparts)
-    edges = _dedup_edges(edges_raw)
-    entities = build_entities_ds(dec, nparts=nparts)
+    np_tr = nparts or _adaptive_nparts(triples.count())
+    n_dec = dec.count()
+    if n_dec <= cfg.canonical_map_broadcast_max:
+        # the sig→canonical map is PROVABLY bounded (n_dec known) — use the
+        # same broadcast rewrite as driver mode: the join variant's cost is
+        # TRIPLES-proportional (measured: 1M pages spent ~2 min joining
+        # 5.7M triples against a 21k-row map that fits in one object).
+        # Only the two-column projection is collected, never the decisions.
+        map_df = sig_map.to_pandas()
+        map_ref = ray.put(dict(zip(map_df["sig"], map_df["canonical_id"])))
+
+        import functools
+
+        edges_raw = triples.map_batches(
+            functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
+            batch_format="pyarrow", batch_size=cfg.score_batch_size)
+    else:
+        edges_raw = rewrite_edges_join(triples, sig_map, nparts=np_tr)
+    edges = _dedup_edges(edges_raw, nparts=np_tr)
+    entities = build_entities_ds(dec, nparts=np_dec)
     return {"decisions_ds": dec, "edges": edges, "entities_ds": entities}
 
 
-def _dedup_edges(edges_raw: rd.Dataset) -> rd.Dataset:
+def _dedup_edges(edges_raw: rd.Dataset, nparts: int = 64) -> rd.Dataset:
     """Exact (src, dst, rel) edge dedup: per-batch combiner + one coarse
     keyed shuffle (shared by the driver and distributed rewrites)."""
     edges = (
@@ -813,7 +852,7 @@ def _dedup_edges(edges_raw: rd.Dataset) -> rd.Dataset:
         .map_batches(_dedup_partial_edges, batch_format="pyarrow",
                      zero_copy_batch=True)
     )
-    return dedup_first(edges, "edge_key", nparts=64).select_columns(
+    return dedup_first(edges, "edge_key", nparts=nparts).select_columns(
         ["src_id", "dst_id", "rel_type"])
 
 

@@ -1158,3 +1158,102 @@ SELECT c_mktsegment, count(*) AS n,
        ROUND(SUM(c_acctbal) / count(*), 2) AS avg_bal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------- window: lag / delta
+
+def event_deltas(sf_dir: str):
+    """LAG window shape (an operator family Ray Data lacks natively): per
+    user, each event's seconds-since-previous-event.  One keyed coarse
+    shuffle, then a fully vectorized per-partition kernel: sort by
+    (user, ts, event_id), shift, mask the per-user first row — no per-key
+    pandas calls, no pair materialization."""
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64")
+        prev = ts.shift(1)
+        same_user = df["user_id"].eq(df["user_id"].shift(1))
+        delta = ((ts - prev) // 1_000_000).where(same_user)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "delta_s": delta.astype("Int64").to_numpy(),
+        })
+
+    return partitioned_groupby(ds, "user_id", deltas, nparts=16,
+                               isolate_hot=_hot_users(sf_dir)).sort("event_id")
+
+
+SQL_EVENT_DELTAS = """
+SELECT event_id,
+       CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)))
+            // 1000000 AS BIGINT) AS delta_s
+FROM events ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------- window: running sum
+
+def running_total(sf_dir: str):
+    """Cumulative-sum window per user (ROWS UNBOUNDED PRECEDING): sort
+    within the partition, one vectorized groupby().cumsum() — the
+    ordered-log pattern shared with session_window."""
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = df.groupby("user_id", sort=False)["value"].cumsum().round(2)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "running_value": run.to_numpy(),
+        })
+
+    return partitioned_groupby(ds, "user_id", cumsum, nparts=16,
+                               isolate_hot=_hot_users(sf_dir)).sort("event_id")
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------- grouped top-k (k > 1)
+
+def groupby_top3(sf_dir: str):
+    """Per-group top-k with k>1 and in-group ranks (T3 ranked-candidates
+    shape): top-3 events per user by value, one vectorized
+    sort + head-per-group per coarse partition."""
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        out = g.head(3).copy()
+        out["rnk"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out
+
+    out = partitioned_groupby(ds, "user_id", top3, nparts=16,
+                              isolate_hot=_hot_users(sf_dir))
+    return out.sort(["user_id", "rnk"])
+
+
+SQL_GROUPBY_TOP3 = """
+SELECT user_id, event_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+FROM events
+QUALIFY rnk <= 3
+ORDER BY user_id, rnk
+"""

@@ -36,7 +36,22 @@ def _ents_df(out) -> pd.DataFrame:
     return df.sort_values("id", kind="mergesort").reset_index(drop=True)
 
 
-def test_distributed_canonicalize_matches_driver(ray_session):
+@pytest.mark.parametrize("broadcast_max", [2_000_000, 1])
+def test_distributed_canonicalize_matches_driver(ray_session, broadcast_max):
+    """broadcast_max=1 forces BOTH modes onto the shuffle-join edge rewrite
+    (the beyond-broadcast scale path); the default exercises the broadcast
+    rewrite in both."""
+    from entitydisambiguation_ray.config import EngineConfig
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+
+    def _run(mode, n_pages=150):
+        cfg = EngineConfig(canonicalize=mode,
+                           canonical_map_broadcast_max=broadcast_max)
+        return run_kg_pipeline(synth_pages_dataset(n_pages, seed=42), cfg=cfg)
+
     drv = _run("driver")
     dist = _run("distributed")
     assert "decisions_ds" in dist and "entities_ds" in dist
