@@ -68,19 +68,19 @@ def brute_force_topk(
             ids = np.asarray(batch.column(id_col).to_pylist())
             mat = _normalize(_as_matrix(batch.column(vec_col)))
             cos = mat @ self.q.T  # (n, nq)
-            out_q, out_id, out_cos = [], [], []
+            nq = self.q.shape[0]
             kk = min(k, len(ids))
-            for qi in range(self.q.shape[0]):
-                c = cos[:, qi]
-                top = np.argpartition(-c, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-                for i in top:
-                    out_q.append(qi)
-                    out_id.append(ids[i])
-                    out_cos.append(c[i])
+            if kk < len(ids):
+                # one vectorized partial top-k across ALL queries at once
+                top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, nq)
+            else:
+                top = np.tile(np.arange(len(ids))[:, None], (1, nq))
+            qi = np.repeat(np.arange(nq, dtype=np.int32), top.shape[0])
+            rows = top.T.ravel()
             return pa.table({
-                "query_idx": pa.array(out_q, pa.int32()),
-                id_col: pa.array(out_id),
-                "cosine": pa.array(out_cos, pa.float64()),
+                "query_idx": pa.array(qi, pa.int32()),
+                id_col: pa.array(ids[rows]),
+                "cosine": pa.array(cos[rows, qi], pa.float64()),
             })
 
     partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
