@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": R.event_deltas,
         "running_total": R.running_total,
         "groupby_top3": R.groupby_top3,
+        "revenue_rollup": R.revenue_rollup,
+        "hash_sample": R.hash_sample,
         # text analysis (SQL-checked)
         "token_count": _q_token_count,
         "token_freq": R.token_freq,
@@ -565,6 +567,8 @@ def oracle_sql() -> dict[str, str]:
         "event_deltas": R.SQL_EVENT_DELTAS,
         "running_total": R.SQL_RUNNING_TOTAL,
         "groupby_top3": R.SQL_GROUPBY_TOP3,
+        "revenue_rollup": R.SQL_REVENUE_ROLLUP,
+        "hash_sample": R.SQL_HASH_SAMPLE,
         "token_count": SQL_TOKEN_COUNT,
         "token_freq": R.SQL_TOKEN_FREQ,
         "quality_score": SQL_QUALITY,

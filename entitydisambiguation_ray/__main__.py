@@ -97,7 +97,8 @@ def main(argv=None) -> int:
         "per_partition": [
             {"part": p, **{k: v for k, v in
                            vars(store.read_manifest("triples", p)).items()
-                           if k in ("rows", "wall_s", "input_fingerprint")}}
+                           if k in ("rows", "wall_s", "input_fingerprint",
+                                    "counters")}}
             for p in store.committed_parts("triples")
         ],
     }

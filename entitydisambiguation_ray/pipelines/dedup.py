@@ -65,15 +65,18 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup detection → verified pair list
     (id_a, id_b, jaccard ≥ threshold).
 
-    Shuffles: (1) band groupby over small (band, hash, id) rows;
-    (2) candidate-pair groupby for dedup; (3+4) with ``verify="join"``
-    (default, the scale path) a payload-deduplicated cogroup fetches each
-    referenced text once per target partition and scores Jaccard fully
-    distributed — no full-corpus driver collect anywhere (see
+    Shuffles with ``verify="join"`` (default, the scale path): (1) band
+    groupby over small (band, hash, id) rows; (2+3) a payload-deduplicated
+    cogroup that fetches each referenced text once per target partition
+    and scores Jaccard fully distributed — the global distinct-pair dedup
+    is folded into the cogroup (pairs route by pair-key hash, so
+    band-duplicates co-locate and drop locally; no separate dedup
+    exchange).  No full-corpus driver collect anywhere (see
     ``_verify_pairs_join``).  ``verify="broadcast"`` keeps the legacy
-    id→text broadcast (driver-collected — only for corpora that fit the
-    driver; equivalence-tested against the join path, and locally ~2×
-    faster, which is exactly the trade the broadcast makes)."""
+    id→text broadcast plus an explicit distinct-pair pass
+    (driver-collected — only for corpora that fit the driver;
+    equivalence-tested against the join path, and locally ~2× faster,
+    which is exactly the trade the broadcast makes)."""
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm)
     exploded = ds.map_batches(
@@ -114,12 +117,26 @@ def minhash_lsh_pairs(
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype=df["doc_id"].dtype),
                                  "id_b": pd.Series([], dtype=df["doc_id"].dtype)})
+        # local combiner: a pair can re-form via several buckets that hash
+        # into THIS partition — dedupe before it enters any exchange
         return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+                             "id_b": np.concatenate(out_b)}).drop_duplicates()
 
     candidates = partitioned_groupby(exploded, "band_hash", buckets_to_pairs,
                                      nparts=32)
-    # distinct candidate pairs (a pair can collide in several bands)
+
+    if verify == "join":
+        # the global pair dedup is FOLDED INTO the verify cogroup: a pair's
+        # verify target partition is hash(pair_key) % nparts, so
+        # band-duplicate pairs co-locate and score_partition drops them
+        # locally — one whole candidate-stream shuffle saved vs a separate
+        # keyed dedup pass
+        return _verify_pairs_join(candidates, ds, id_col, text_col, threshold)
+    if verify != "broadcast":
+        raise ValueError(f"verify must be 'join' or 'broadcast', {verify!r}")
+
+    # broadcast path scores every candidate row directly → it needs the
+    # explicit distinct-pair pass (a pair can collide in several bands)
     def pair_key(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
             pc.cast(batch.column("id_a"), pa.string()),
@@ -130,11 +147,6 @@ def minhash_lsh_pairs(
         candidates.map_batches(pair_key, batch_format="pyarrow"),
         "pair_key", nparts=8,
     ).drop_columns(["pair_key"])
-
-    if verify == "join":
-        return _verify_pairs_join(candidates, ds, id_col, text_col, threshold)
-    if verify != "broadcast":
-        raise ValueError(f"verify must be 'join' or 'broadcast', {verify!r}")
 
     tdf = ds.select_columns([id_col, text_col]).to_pandas()
     texts = dict(zip(tdf[id_col], tdf[text_col]))
@@ -266,7 +278,9 @@ def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
                 memo[doc_id] = s
             return s
 
-        pairs = df.loc[df["kind"] == 0]
+        # band-duplicate pairs co-locate here (part = hash(pair_key)):
+        # the global distinct-pair semantics are enforced locally
+        pairs = df.loc[df["kind"] == 0].drop_duplicates(["id_a", "id_b"])
         rows = []
         for a, b in zip(pairs["id_a"], pairs["id_b"]):
             ja = jaccard(nset(a), nset(b))

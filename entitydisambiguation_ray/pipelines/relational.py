@@ -1262,3 +1262,85 @@ FROM events
 QUALIFY rnk <= 3
 ORDER BY user_id, rnk
 """
+
+
+# --------------------------------------------------------------- rollup (grouping sets)
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): detail rows + per-flag
+    subtotals + grand total, computed from ONE per-batch partial
+    aggregation — the two coarser levels re-aggregate the (tiny) detail
+    aggregate on the driver rather than re-scanning the fact table (the
+    standard rollup-from-finest-level trick)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(1.0, batch.column("l_discount")))
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag")
+            .to_numpy(zero_copy_only=False),
+            "l_linestatus": batch.column("l_linestatus")
+            .to_numpy(zero_copy_only=False),
+            "revenue": rev.to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    detail = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("revenue", alias_name="revenue")).to_pandas())
+    flag = detail.groupby("l_returnflag", as_index=False)["revenue"].sum()
+    flag["l_linestatus"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "revenue": [detail["revenue"].sum()]})
+    out = pd.concat([detail, flag, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    return (out[["l_returnflag", "l_linestatus", "revenue"]]
+            .sort_values(["l_returnflag", "l_linestatus"], na_position="last")
+            .reset_index(drop=True))
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+# --------------------------------------------------------------- deterministic sample
+
+def hash_sample(sf_dir: str):
+    """Deterministic ~10% sample: keep rows whose md5(doc_id) prefix falls
+    under the rate threshold — stable across runs, machines and
+    partitioning (unlike random sampling, this is SQL-reproducible and
+    resume-safe).  Same digest-prefix kernel as dataset_split."""
+    import hashlib
+    import numpy as np
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        codes = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:2], "big")
+             for s in ids),
+            dtype=np.int64, count=len(ids))
+        return batch.filter(pa.array(codes < 6554))  # 6554/65536 ≈ 10%
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      < 6554
+ORDER BY doc_id
+"""
