@@ -367,6 +367,67 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
                        "pair_key", nparts=16).drop_columns(["pair_key"])
 
 
+def ngram_jaccard_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str, block_col: str,
+    *, threshold: float = 0.6, n: int = 1,
+) -> rd.Dataset:
+    """EXACT word-n-gram Jaccard near-dup within a blocking key — the
+    exact member of the dedup family (minhash_lsh_pairs is the approximate
+    scale path whose verify step already uses n-gram Jaccard; this variant
+    computes it for EVERY within-block pair, for blocks known to be
+    bounded).  One shuffle on the block key; the per-group kernel is a
+    vectorized incidence-matrix matmul (docs × shingle vocabulary), never
+    a per-pair Python loop.
+
+    n=1 tokenization deliberately matches the SQL oracle byte-for-byte:
+    ``lower().split(' ')`` with set semantics (empty tokens kept, exactly
+    like DuckDB ``list_distinct(string_split(lower(text), ' '))``).
+    Intersection/union counts come out of a float32 matmul (exact for
+    counts < 2^24) and the final division is float64, so the quotient is
+    bit-identical to the oracle's.
+    """
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        sets = []
+        for t in g[text_col]:
+            toks = t.lower().split(" ")
+            if n > 1:
+                toks = [" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)]
+            sets.append(set(toks))
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, s in enumerate(sets):
+            for w in s:
+                j = vocab.setdefault(w, len(vocab))
+                rows.append(i)
+                cols.append(j)
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame({"doc_a": np.array([], dtype=np.int64),
+                                 "doc_b": np.array([], dtype=np.int64),
+                                 "jaccard": np.array([], dtype=np.float64)})
+        inc = np.zeros((m, len(vocab)), dtype=np.float32)
+        inc[rows, cols] = 1.0
+        inter = inc @ inc.T                      # exact set-intersection counts
+        sizes = inc.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        ia, ib = np.triu_indices(m, k=1)
+        jac = (inter[ia, ib].astype(np.float64)
+               / np.maximum(union[ia, ib].astype(np.float64), 1.0))
+        keep = jac >= threshold
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({
+            "doc_a": ids[ia[keep]],
+            "doc_b": ids[ib[keep]],
+            "jaccard": np.round(jac[keep], 4),
+        })
+
+    return ds.groupby(block_col).map_groups(group_pairs,
+                                            batch_format="pandas")
+
+
 def embedding_neardup_pairs(
     ds: rd.Dataset, id_col: str, vec_col: str, block_col: str,
     *, threshold: float = 0.35,

@@ -20,12 +20,25 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+
+def _round_half_away(x: "np.ndarray", decimals: int = 2) -> "np.ndarray":
+    """DuckDB-compatible ROUND: half away from zero on the scaled double
+    (numpy/pandas round half-to-even, which diverges whenever the scaled
+    value lands exactly on a representable .5 — common for 2-term means of
+    2-decimal inputs).  Only needed where the unrounded doubles are already
+    bit-identical across engines; sums/divisions by 3+ essentially never
+    hit an exact half."""
+    scale = 10.0 ** decimals
+    s = x * scale
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / scale
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -1343,4 +1356,221 @@ SELECT doc_id, n_chars FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
       < 6554
 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------- 3-hop join chain
+
+def multi_join_chain(sf_dir: str):
+    """TPC-H-Q5-shaped 3-hop join: revenue per nation through
+    lineitem ⋈ orders ⋈ customer ⋈ nation.  Scale discipline on display:
+    the two fact-sized hops are co-partitioned shuffle joins
+    (stages/join.py), the revenue rollup is pushed BELOW the second
+    shuffle (per-customer partial aggregate, so the custkey exchange moves
+    one row per customer per block instead of one per lineitem), and the
+    25-row nation dim is a ray.put broadcast — never a shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import shuffle_hash_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = shuffle_hash_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey", nparts=32)
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(1.0, batch.column("l_discount")))
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "revenue": rev.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    per_cust_ds = (j1.map_batches(per_cust, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("o_custkey").aggregate(
+                       Sum("revenue", alias_name="revenue"),
+                       Sum("n_items", alias_name="n_items")))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = shuffle_hash_join(per_cust_ds, cust, on="o_custkey",
+                           right_on="c_custkey", nparts=16)
+
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class AddNation:
+        def __init__(self):
+            self.nmap = ray.get(nmap_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = pd.Series(
+                batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+            ).map(self.nmap)
+            return batch.append_column(
+                "n_name", pa.array(names.to_numpy(), pa.string()))
+
+    out = (j2.map_batches(AddNation, batch_format="pyarrow",
+                          concurrency=(1, 2))
+           .groupby("n_name").aggregate(
+               Sum("revenue", alias_name="revenue"),
+               Sum("n_items", alias_name="n_items")).to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_MULTI_JOIN_CHAIN = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------- conditional-agg pivot
+
+def pivot_counts(sf_dir: str):
+    """Conditional aggregation / pivot: per-language document-length
+    histogram as wide columns (COUNT FILTER shape).  One per-batch
+    combiner (boolean-mask sums over the 5-key group) + tiny global sum —
+    the fact table never shuffles row-level."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nc = df["n_chars"]
+        g = pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_short": (nc < 500).astype("int64"),
+            "n_mid": ((nc >= 500) & (nc < 2000)).astype("int64"),
+            "n_long": (nc >= 2000).astype("int64"),
+            "chars": nc,
+        }).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang").aggregate(
+               Sum("n_docs", alias_name="n_docs"),
+               Sum("n_short", alias_name="n_short"),
+               Sum("n_mid", alias_name="n_mid"),
+               Sum("n_long", alias_name="n_long"),
+               Sum("chars", alias_name="chars")).to_pandas())
+    out["avg_chars"] = (out["chars"] / out["n_docs"]).round(2)
+    for c in ("n_docs", "n_short", "n_mid", "n_long"):
+        out[c] = out[c].astype("int64")
+    out = out.drop(columns=["chars"])
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_PIVOT_COUNTS = """
+SELECT lang, count(*) AS n_docs,
+       count(*) FILTER (WHERE n_chars < 500) AS n_short,
+       count(*) FILTER (WHERE n_chars >= 500 AND n_chars < 2000) AS n_mid,
+       count(*) FILTER (WHERE n_chars >= 2000) AS n_long,
+       ROUND(SUM(n_chars) / count(*), 2) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------- window: sliding mean
+
+def moving_average(sf_dir: str):
+    """Sliding-window mean (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): per
+    user trailing 3-row average, vectorized via masked shifts within the
+    sorted partition (no per-key rolling calls).
+
+    The oracle spells the frame as explicit ``lag()`` terms rather than
+    ``AVG() OVER`` because windowed-aggregate engines accumulate the frame
+    sum in engine-specific order (DuckDB's incremental frame sum differs
+    from a fresh 3-term sum in the last ulp, which ROUND then amplifies at
+    .xx5 boundaries ~0.1% of rows); the lag form pins the addition order
+    to (v₋₂ + v₋₁) + v in BOTH engines, making the double bit-identical."""
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def mov(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = df["value"].to_numpy()
+        u = df["user_id"].to_numpy()
+        same1 = np.zeros(len(df), dtype=bool)
+        same1[1:] = u[1:] == u[:-1]
+        same2 = np.zeros(len(df), dtype=bool)
+        same2[1:] = same1[1:] & same1[:-1]       # contiguous after the sort
+        v1 = np.empty_like(v)
+        v1[1:] = v[:-1]
+        v2 = np.empty_like(v)
+        v2[2:] = v[:-2]
+        s = np.where(same2, v2, 0.0) + np.where(same1, v1, 0.0) + v
+        nterms = 1 + same1.astype(np.int64) + same2.astype(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "avg3": _round_half_away(s / nterms, 2),
+        })
+
+    return partitioned_groupby(ds, "user_id", mov, nparts=16,
+                               isolate_hot=_hot_users(sf_dir)).sort("event_id")
+
+
+SQL_MOVING_AVERAGE = """
+SELECT event_id,
+       ROUND(((COALESCE(lag(value, 2) OVER w, 0)
+               + COALESCE(lag(value, 1) OVER w, 0)) + value)
+             / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END),
+             2) AS avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------- dense-rank top-k
+
+def dense_rank_topk(sf_dir: str):
+    """DENSE_RANK window with ties kept: per market segment, every
+    customer whose balance is among the segment's top-3 DISTINCT
+    balances.  Scale shape: a per-batch prune keeps only rows in the
+    batch's own top-3 distinct values (a guaranteed superset — a row's
+    dense rank in any subset containing it is ≤ its global rank), then one
+    driver-side finish over the tiny candidate set."""
+    ds = _pq(sf_dir, "customer",
+             ["c_mktsegment", "c_custkey", "c_name", "c_acctbal"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        r = df.groupby("c_mktsegment")["c_acctbal"].rank(
+            method="dense", ascending=False)
+        return pa.Table.from_pandas(df[r <= 3], preserve_index=False)
+
+    cand = ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    r = cand.groupby("c_mktsegment")["c_acctbal"].rank(
+        method="dense", ascending=False)
+    out = cand[r <= 3].copy()
+    out["rnk"] = r[r <= 3].astype("int64")
+    return (out[["c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rnk"]]
+            .sort_values(["c_mktsegment", "rnk", "c_custkey"])
+            .reset_index(drop=True))
+
+
+SQL_DENSE_RANK_TOPK = """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+       CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC) AS BIGINT) AS rnk
+FROM customer QUALIFY rnk <= 3
+ORDER BY c_mktsegment, rnk, c_custkey
 """
