@@ -225,6 +225,22 @@ def _q_ngram_jaccard(sf_dir: str):
                                threshold=0.6).sort(["doc_a", "doc_b"])
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """Winnowing (rolling-hash local fingerprints, Schleimer et al. 2003)
+    near-dup candidates over documents — rows-only (positional rolling
+    hashes are not SQL-expressible); guarantee + pair properties are
+    pytest-asserted (test_round3b.py)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import winnow_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return winnow_pairs(ds, "doc_id", "text",
+                        min_shared=3).sort(["id_a", "id_b"])
+
+
 def _q_exact_dedup(sf_dir: str):
     _quiet()
     import ray.data as rd
@@ -547,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_topk": R.dense_rank_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # pytest-covered variants/stubs
+        "winnow_pairs": _q_winnow_pairs,            # rows-only (local fps)
         "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)
         "kg_edges_blocked": _q_kg_edges_blocked,
         # multimodal plumbing (rows-only; decode stubbed, see module doc)

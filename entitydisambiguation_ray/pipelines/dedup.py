@@ -367,6 +367,86 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
                        "pair_key", nparts=16).drop_columns(["pair_key"])
 
 
+def winnow_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str,
+    *, k: int = 12, w: int = 8, min_shared: int = 2,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> rd.Dataset:
+    """LOCAL-fingerprint near-dup candidates via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): rolling-hash
+    k-grams → rightmost-min-per-window fingerprints (stages/dedup.winnow)
+    → explode to (id, fp) rows → fp-bucket pair emit (hot buckets capped
+    with logged dropped mass, same discipline as minhash) → per-pair
+    shared-fingerprint count → pairs sharing ≥ ``min_shared``.
+
+    Complements the whole-document sketches: a copied PARAGRAPH inside two
+    otherwise-different pages still yields shared fingerprints (any common
+    substring ≥ w+k-1 bytes is guaranteed detected), where whole-doc
+    minhash dilutes the overlap below threshold.
+
+    Shuffles: one coarse partitioned groupby on fp (small (id, fp) rows —
+    the text never moves), one keyed sum on the pair key.  Output:
+    (id_a, id_b, n_shared)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import winnow_batch
+
+    exploded = ds.map_batches(
+        functools.partial(winnow_batch, id_col=id_col, text_col=text_col,
+                          k=k, w=w),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def fp_to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        dropped_pairs = 0
+        dropped_buckets = 0
+        for _, g in df.groupby("fp", sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > bucket_cap:
+                dropped_pairs += len(ids) * (len(ids) - 1) // 2
+                dropped_buckets += 1
+                continue
+            a, b = _emit_bucket_pairs(ids)
+            out_a.append(a)
+            out_b.append(b)
+        if dropped_pairs:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnowing dropped %d candidate pairs from %d hot "
+                "fingerprint buckets (> %d members)",
+                dropped_pairs, dropped_buckets, bucket_cap)
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=df[id_col].dtype),
+                "id_b": pd.Series([], dtype=df[id_col].dtype),
+                "n_shared": pd.Series([], dtype="int64")})
+        # local combiner: count shared fps per pair within this partition
+        # (each fp value lives in exactly one partition, so partial counts
+        # sum globally without double-counting)
+        pairs = pd.DataFrame({"id_a": np.concatenate(out_a),
+                              "id_b": np.concatenate(out_b)})
+        return (pairs.groupby(["id_a", "id_b"], as_index=False)
+                .size().rename(columns={"size": "n_shared"}))
+
+    cand = partitioned_groupby(exploded, "fp", fp_to_pairs, nparts=32)
+    agg = cand.groupby(["id_a", "id_b"]).aggregate(
+        Sum("n_shared", alias_name="n_shared"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), min_shared))
+
+    return agg.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset, id_col: str, text_col: str, block_col: str,
     *, threshold: float = 0.6, n: int = 1,

@@ -151,3 +151,66 @@ def simhash_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------- winnowing
+
+# Rolling-hash document fingerprinting per Schleimer, Wilkerson & Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD 2003):
+# k-gram rolling hashes, a w-wide sliding window, keep the RIGHTMOST
+# minimal hash per window.  Default k=12/w=8: the noise threshold k must
+# exceed common idiom length (5-grams like " the " match across ALL
+# English documents), per the paper's guidance that k be "long enough
+# that common idioms are not matches".  Guarantee: any shared substring of length
+# >= w + k - 1 between two documents yields at least one shared
+# fingerprint.  Unlike the whole-document md5 (`fingerprint_batch`) this
+# is LOCAL — partial overlap (a copied paragraph inside otherwise
+# different pages) is still detected.
+
+_WINNOW_BASE = np.uint64(1_000_003)
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hashes of every k-byte window, vectorized: k
+    shifted multiply-adds on uint64 (mod 2^64 by wraparound) instead of a
+    per-position Python loop."""
+    n = len(data) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k is small (default 5); each step is vectorized
+        h = h * _WINNOW_BASE + data[j:j + n].astype(np.uint64)
+    return h
+
+
+def winnow(text: str, k: int = 12, w: int = 8) -> np.ndarray:
+    """Sorted unique fingerprint hashes of one document (uint64)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    h = _rolling_hashes(data, k)
+    if len(h) <= w:
+        return np.unique(h.min(keepdims=True))
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum per window (robust winnowing): argmin on the
+    # reversed window axis finds the LAST minimal element
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(win)) + (w - 1 - rev_arg)
+    return np.unique(h[np.unique(pos)])
+
+
+def winnow_batch(batch: pa.Table, *, id_col: str, text_col: str,
+                 k: int = 12, w: int = 8) -> pa.Table:
+    """Explode each doc into (id, fp) rows — one row per selected
+    fingerprint, ready for a groupby(fp) candidate-pair stage."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_ids, out_fps = [], []
+    for i, t in zip(ids, texts):
+        fps = winnow(t or "", k=k, w=w)
+        out_ids.extend([i] * len(fps))
+        out_fps.append(fps)
+    fp_arr = (np.concatenate(out_fps) if out_fps
+              else np.array([], dtype=np.uint64))
+    return pa.table({
+        id_col: pa.array(out_ids, batch.schema.field(id_col).type),
+        "fp": pa.array(fp_arr.astype(np.int64), pa.int64()),
+    })

@@ -110,3 +110,67 @@ def test_dense_rank_keeps_ties(ray_session):
         assert ranks == list(range(1, len(ranks) + 1))
         # ranks are dense over DISTINCT balances
         assert g.groupby("rnk")["c_acctbal"].nunique().max() == 1
+
+
+# ------------------------------------------------------------- winnowing
+
+def test_winnow_guarantee_and_locality(ray_session):
+    """Winnowing guarantee: any shared substring >= w+k-1 yields a shared
+    fingerprint — a copied paragraph inside otherwise-different pages is
+    detected, where whole-doc overlap is tiny."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import winnow_pairs
+
+    paragraph = ("copied paragraph that appears verbatim in two pages "
+                 "with plenty of shared bytes to fingerprint") * 3
+    rows = [
+        {"doc_id": 0, "text": "first page intro. " + paragraph
+         + " first page closing words entirely its own."},
+        {"doc_id": 1, "text": "completely different opening here. "
+         + paragraph + " and a different ending follows too."},
+        {"doc_id": 2, "text": "this third page shares nothing with the "
+         "others; its vocabulary and phrasing are distinct throughout, "
+         "long enough to produce many fingerprints of its own accord."},
+    ]
+    out = winnow_pairs(rd.from_items(rows), "doc_id", "text",
+                       min_shared=3).to_pandas()
+    assert ((out["id_a"] == 0) & (out["id_b"] == 1)).any()
+    assert not ((out["id_b"] == 2) | (out["id_a"] == 2)).any()
+    got = out[(out["id_a"] == 0) & (out["id_b"] == 1)]["n_shared"].iloc[0]
+    assert got >= 3
+
+
+def test_winnow_identical_docs_share_all(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import winnow_pairs
+    from entitydisambiguation_ray.stages.dedup import winnow
+
+    text = "identical document body repeated across both ids " * 4
+    ds = rd.from_items([{"doc_id": 10, "text": text},
+                        {"doc_id": 11, "text": text}])
+    out = winnow_pairs(ds, "doc_id", "text", min_shared=1).to_pandas()
+    assert len(out) == 1
+    assert out["n_shared"].iloc[0] == len(winnow(text))
+
+
+def test_winnow_hot_bucket_cap(ray_session):
+    """A fingerprint shared by hundreds of docs (boilerplate) is dropped
+    as a pair generator under a small cap; distinct small overlaps
+    survive."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import winnow_pairs
+
+    boiler = "standard cookie banner text shown on every single page " * 2
+    rows = [{"doc_id": i, "text": boiler} for i in range(300)]
+    rows += [{"doc_id": 900, "text": "one unique pair of pages alpha beta "
+              "gamma delta epsilon zeta eta theta"},
+             {"doc_id": 901, "text": "one unique pair of pages alpha beta "
+              "gamma delta epsilon zeta eta theta"}]
+    out = winnow_pairs(rd.from_items(rows), "doc_id", "text",
+                       min_shared=1, bucket_cap=50).to_pandas()
+    clones = out[(out["id_a"] < 900) & (out["id_b"] < 900)]
+    assert len(clones) == 0
+    assert ((out["id_a"] == 900) & (out["id_b"] == 901)).any()
