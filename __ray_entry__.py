@@ -109,6 +109,42 @@ def _q_kg_edges_blocked(sf_dir: str):
     return out["edges"].sort(["src_id", "dst_id", "rel_type"])
 
 
+def _q_kg_incremental(sf_dir: str):
+    """Chained incremental runs (cfg.kb_path): batch 2 disambiguates
+    against batch 1's emitted entities table — the batch equivalent of the
+    reference's KB growing across /auto-decide requests
+    (disambiguation.py:120-166).  Returns the union of both batches'
+    canonical edges; tests/test_kg_incremental.py proves the chain matches
+    the sequential oracle at P/R ≥ 0.95 (measured 1.0)."""
+    _quiet()
+    import tempfile
+
+    import ray.data as rd
+
+    from entitydisambiguation_ray.config import DEFAULT_CONFIG
+    from entitydisambiguation_ray.pipelines.kg import (
+        run_kg_incremental,
+        run_kg_pipeline,
+        synth_pages_dataset,
+        write_graph_outputs,
+    )
+    from entitydisambiguation_ray.sources.pages import make_pages_batch
+
+    n1, n2 = 100, 100
+    out1 = run_kg_pipeline(synth_pages_dataset(n1, seed=42))
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = write_graph_outputs(out1, tmp)
+        pages2 = rd.range(n2).map_batches(
+            lambda b: make_pages_batch(b["id"] + n1, seed=42),
+            batch_format="numpy",
+            batch_size=DEFAULT_CONFIG.extract_batch_size,
+        )
+        out2 = run_kg_incremental(pages2, paths["entities"])
+        edges = out1["edges"].union(out2["edges"])
+        return edges.to_pandas().drop_duplicates().sort_values(
+            ["src_id", "dst_id", "rel_type"]).reset_index(drop=True)
+
+
 def _q_kg_decisions(sf_dir: str):
     return _kg_outputs(sf_dir, "decisions")
 
@@ -566,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": _q_winnow_pairs,            # rows-only (local fps)
         "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)
         "kg_edges_blocked": _q_kg_edges_blocked,
+        "kg_incremental": _q_kg_incremental,        # rows-only (chained KB)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,

@@ -76,6 +76,12 @@ class EngineConfig:
     # canonicalize_driver_max decision rows
     canonicalize: str = "auto"
     canonicalize_driver_max: int = 2_000_000
+    # incremental mode: path to a prior run's entities parquet
+    # (write_graph_outputs' ``{out_dir}/entities``) used as the KB instead
+    # of the seed corpus — the batch equivalent of the reference's KB
+    # growing across /auto-decide requests (disambiguation.py:120-166).
+    # On a cluster the path must be on shared storage, like any input.
+    kb_path: str | None = None
 
     def weights(self) -> tuple[float, float, float, float]:
         return (

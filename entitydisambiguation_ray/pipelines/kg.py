@@ -42,7 +42,7 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..sources.pages import make_pages_batch
-from ..sources.seed import build_seed_entities, build_vocab, seed_entities_table
+from ..sources.seed import kb_entities, kb_entities_table, kb_vocab
 from ..stages.disambiguate import Disambiguator, disambiguate_batch
 from ..stages.extract import extract_text_batch, triples_batch
 from ..stages.mentions import (
@@ -83,9 +83,11 @@ def mentions_stage(triples: rd.Dataset,
                    cfg: EngineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Stateless tasks over warm workers; the dictionary is a process-global
     built once per worker (stages/mentions.get_builder rationale)."""
+    import functools
+
     return triples.map_batches(
-        build_mentions_batch, batch_format="pyarrow",
-        batch_size=cfg.score_batch_size,
+        functools.partial(build_mentions_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=cfg.score_batch_size,
     )
 
 
@@ -166,7 +168,7 @@ class EdgeRewriter:
 
     _CACHE: dict[str, object] = {}
 
-    def __init__(self, canonical_ref=None, canonical_map=None):
+    def __init__(self, canonical_ref=None, canonical_map=None, cfg=None):
         if canonical_ref is not None:
             key = canonical_ref.hex()
             cached = EdgeRewriter._CACHE.get(key)
@@ -177,7 +179,7 @@ class EdgeRewriter:
             self.map = cached
         else:
             self.map = canonical_map or {}
-        self.dict = build_vocab(build_seed_entities())[0]
+        self.dict = kb_vocab(cfg)[0]
         self._sig_memo: dict[str, str] = {}
 
     def _canon(self, surface: str) -> str:
@@ -222,16 +224,17 @@ class EdgeRewriter:
         )
 
 
-_REWRITERS: dict[str, EdgeRewriter] = {}
+_REWRITERS: dict[tuple, EdgeRewriter] = {}
 
 
-def rewrite_edges_batch(batch: pa.Table, *, canonical_ref) -> pa.Table:
+def rewrite_edges_batch(batch: pa.Table, *, canonical_ref,
+                        cfg=None) -> pa.Table:
     """Stateless-task wrapper with a process-global rewriter per map ref."""
-    key = canonical_ref.hex()
+    key = (canonical_ref.hex(), getattr(cfg, "kb_path", None))
     rw = _REWRITERS.get(key)
     if rw is None:
         _REWRITERS.clear()
-        rw = EdgeRewriter(canonical_ref=canonical_ref)
+        rw = EdgeRewriter(canonical_ref=canonical_ref, cfg=cfg)
         _REWRITERS[key] = rw
     return rw(batch)
 
@@ -239,14 +242,17 @@ def rewrite_edges_batch(batch: pa.Table, *, canonical_ref) -> pa.Table:
 _SIG_VOCAB: dict[str, object] = {}
 
 
-def add_sigs_batch(batch: pa.Table) -> pa.Table:
+def add_sigs_batch(batch: pa.Table, *, cfg=None) -> pa.Table:
     """triples → + (src_sig, dst_sig): the mention signature of each
     endpoint surface, resolved once per UNIQUE surface per batch
     (dictionary-encode) with a process-global vocab + memo."""
-    st = _SIG_VOCAB.get("st")
+    key = getattr(cfg, "kb_path", None)
+    st = _SIG_VOCAB.get(key)
     if st is None:
-        st = {"dict": build_vocab(build_seed_entities())[0], "memo": {}}
-        _SIG_VOCAB["st"] = st
+        if len(_SIG_VOCAB) > 4:
+            _SIG_VOCAB.clear()
+        st = {"dict": kb_vocab(cfg)[0], "memo": {}}
+        _SIG_VOCAB[key] = st
     vocab, memo = st["dict"], st["memo"]
 
     def sig_col(col) -> pa.Array:
@@ -269,7 +275,7 @@ def add_sigs_batch(batch: pa.Table) -> pa.Table:
 
 
 def rewrite_edges_join(triples: rd.Dataset, sig_map: rd.Dataset,
-                       nparts: int = 64) -> rd.Dataset:
+                       nparts: int = 64, cfg=None) -> rd.Dataset:
     """The documented scale fallback for the canonical map (module doc
     §dataflow): when sig→canonical_id outgrows a broadcast, resolve edge
     endpoints via TWO co-partitioned shuffle hash joins against the
@@ -280,8 +286,10 @@ def rewrite_edges_join(triples: rd.Dataset, sig_map: rd.Dataset,
     re-execute it."""
     from ..stages.join import _arrow_types, shuffle_hash_join
 
-    tr = triples.map_batches(add_sigs_batch, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    import functools
+
+    tr = triples.map_batches(functools.partial(add_sigs_batch, cfg=cfg),
+                             batch_format="pyarrow", zero_copy_batch=True)
     tr_types = dict(_arrow_types(triples))  # cheap: triples is materialized
     tr_types["src_sig"] = pa.string()
     tr_types["dst_sig"] = pa.string()
@@ -691,7 +699,8 @@ def _not_owner_flags(created: pd.DataFrame) -> list[bool]:
                                  created["type"])]
 
 
-def build_entities_ds(dec: rd.Dataset, nparts: int = 64) -> rd.Dataset:
+def build_entities_ds(dec: rd.Dataset, nparts: int = 64,
+                      cfg=None) -> rd.Dataset:
     """Distributed entity-table build: one coarse keyed dedup on
     canonical_id (representative = owner mention first, then earliest
     corpus occurrence, then sig — the exact driver ordering), projected to
@@ -729,7 +738,7 @@ def build_entities_ds(dec: rd.Dataset, nparts: int = 64) -> rd.Dataset:
 
     created_ents = partitioned_groupby(created, "canonical_id",
                                        rep_per_canonical, nparts=nparts)
-    seed_df = pd.DataFrame(seed_entities_table())
+    seed_df = pd.DataFrame(kb_entities_table(cfg))
     seed_df["aliases_json"] = seed_df["aliases"].map(
         lambda a: json.dumps(list(a), ensure_ascii=False))
     seed_df = seed_df.drop(columns=["aliases"]).assign(_prio=0)
@@ -833,12 +842,14 @@ def canonicalize_distributed(triples: rd.Dataset, decisions: rd.Dataset,
         import functools
 
         edges_raw = triples.map_batches(
-            functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
+            functools.partial(rewrite_edges_batch, canonical_ref=map_ref,
+                              cfg=cfg),
             batch_format="pyarrow", batch_size=cfg.score_batch_size)
     else:
-        edges_raw = rewrite_edges_join(triples, sig_map, nparts=np_tr)
+        edges_raw = rewrite_edges_join(triples, sig_map, nparts=np_tr,
+                                       cfg=cfg)
     edges = _dedup_edges(edges_raw, nparts=np_tr)
-    entities = build_entities_ds(dec, nparts=np_dec)
+    entities = build_entities_ds(dec, nparts=np_dec, cfg=cfg)
     return {"decisions_ds": dec, "edges": edges, "entities_ds": entities}
 
 
@@ -866,7 +877,7 @@ def make_decisions(triples: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     if cfg.candidate_gen == "blocked":
         from ..stages.candidates import blocked_decisions
 
-        return blocked_decisions(uniq, build_seed_entities(), cfg)
+        return blocked_decisions(uniq, kb_entities(cfg), cfg)
     return decisions_stage(uniq, cfg, concurrency)
 
 
@@ -917,7 +928,7 @@ def canonicalize_and_rewrite(triples: rd.Dataset, decisions: rd.Dataset,
         # instead of a broadcast dict (equivalence-tested; module doc)
         sig_map = rd.from_pandas(
             dec_df[["sig", "canonical_id"]].reset_index(drop=True))
-        edges_raw = rewrite_edges_join(triples, sig_map)
+        edges_raw = rewrite_edges_join(triples, sig_map, cfg=cfg)
     else:
         canonical_map = dict(zip(dec_df["sig"], dec_df["canonical_id"]))
         map_ref = ray.put(canonical_map)
@@ -925,15 +936,16 @@ def canonicalize_and_rewrite(triples: rd.Dataset, decisions: rd.Dataset,
         import functools
 
         edges_raw = triples.map_batches(
-            functools.partial(rewrite_edges_batch, canonical_ref=map_ref),
+            functools.partial(rewrite_edges_batch, canonical_ref=map_ref,
+                              cfg=cfg),
             batch_format="pyarrow", batch_size=cfg.score_batch_size,
         )
     edges = _dedup_edges(edges_raw)
     return {"decisions_df": dec_df, "edges": edges,
-            "entities_df": build_entities_df(dec_df)}
+            "entities_df": build_entities_df(dec_df, cfg)}
 
 
-def build_entities_df(dec_df: pd.DataFrame) -> pd.DataFrame:
+def build_entities_df(dec_df: pd.DataFrame, cfg=None) -> pd.DataFrame:
     """Driver-side entity table: seed KB ∪ created entities (dedup by
     canonical_id, deterministic first-by-(owner, first_occ, sig) — the
     reference's MERGE-upsert last-wins semantics collapse to first-wins
@@ -950,7 +962,7 @@ def build_entities_df(dec_df: pd.DataFrame) -> pd.DataFrame:
         ["canonical_id", "_not_owner", "first_occ", "sig"], kind="mergesort")
     created = created.drop_duplicates("canonical_id").drop(
         columns=["_not_owner"])
-    seed_df = pd.DataFrame(seed_entities_table())
+    seed_df = pd.DataFrame(kb_entities_table(cfg))
     entities = pd.concat([seed_df, _entities_from_created(created)],
                          ignore_index=True)
     return entities.drop_duplicates("id", keep="first")
@@ -984,6 +996,28 @@ def run_kg_pipeline(pages: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
     out["triples"] = triples
     out["decisions"] = decisions
     return out
+
+
+def run_kg_incremental(pages: rd.Dataset, prior_entities_path: str,
+                       cfg: EngineConfig = DEFAULT_CONFIG,
+                       concurrency: int | tuple = (1, 4)) -> dict:
+    """Incremental run: disambiguate ``pages`` against a PRIOR run's emitted
+    entities table instead of the seed corpus — the batch equivalent of the
+    reference's KB growing across /auto-decide requests
+    (disambiguation.py:120-166; each request searches the index the previous
+    requests extended).  ``prior_entities_path`` is write_graph_outputs'
+    ``{out_dir}/entities``; the returned outputs' entities table is the
+    UPDATED KB (prior ∪ newly created), so runs chain:
+
+        out1 = run_kg_pipeline(batch1); p1 = write_graph_outputs(out1, d1)
+        out2 = run_kg_incremental(batch2, p1["entities"])
+
+    Mentions matching an entity created in an earlier batch now MERGE into
+    it (match_id = the prior id) instead of re-creating it."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, kb_path=prior_entities_path)
+    return run_kg_pipeline(pages, cfg, concurrency)
 
 
 def write_graph_outputs(out: dict, out_dir: str) -> dict:

@@ -31,7 +31,7 @@ from ..functions.scoring import (
 )
 from ..functions.svo import extract_triples
 from ..functions.textbuild import embed_text, rerank_text
-from ..sources.seed import build_seed_entities, build_vocab
+from ..sources.seed import kb_vocab
 from ..stages.disambiguate import KnowledgeBase
 
 
@@ -39,7 +39,7 @@ class OnlineOracle:
     def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
         self.cfg = cfg
         self.kb = KnowledgeBase(cfg=cfg)
-        self.dict = build_vocab(build_seed_entities())[0]
+        self.dict = kb_vocab(cfg)[0]
         self.decisions: list[dict] = []
         self._canon_by_sig: dict[str, str] = {}
 

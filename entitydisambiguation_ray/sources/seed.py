@@ -240,3 +240,137 @@ def seed_entities_table() -> list[dict]:
         }
         for e in build_seed_entities()
     ]
+
+
+# ---------------------------------------------------------------------------
+# KB resolution for incremental runs.  Reference parity: the /auto-decide KB
+# grows across requests (disambiguation.py:120-166) — the batch equivalent is
+# run N+1 disambiguating against run N's emitted entities table
+# (``cfg.kb_path`` → write_graph_outputs' ``{out_dir}/entities``).
+
+
+def entities_from_rows(rows: list[dict]) -> list[SeedEntity]:
+    """Entity-table rows (e.g. a prior run's ``entities/`` parquet) →
+    ``SeedEntity`` list.  Applies the M11 defensive alias parse and accepts
+    both alias layouts the two canonicalization modes emit (``aliases``
+    native list / ``aliases_json`` string)."""
+    out: list[SeedEntity] = []
+    for r in rows:
+        raw = r.get("aliases")
+        if raw is None:
+            raw = r.get("aliases_json")
+        if isinstance(raw, str):
+            try:
+                parsed = json.loads(raw)
+                aliases = ([str(x) for x in parsed]
+                           if isinstance(parsed, list) else [raw])
+            except (ValueError, TypeError):
+                aliases = [raw] if raw.strip() else []
+        elif raw is None:
+            aliases = []
+        else:
+            aliases = [str(x) for x in list(raw)]
+        ct = r.get("create_time")
+        out.append(SeedEntity(
+            id=r["id"], name=r["name"], type=r.get("type"),
+            aliases=aliases, definition=r.get("definition"),
+            attributes=r.get("attributes") or "{}",
+            source=r.get("source"),
+            create_time=ct if isinstance(ct, datetime) else EPOCH,
+        ))
+    return out
+
+
+_KB_MEMO: dict[str, list[SeedEntity]] = {}
+_VOCAB_MEMO: dict[str | None, tuple] = {}
+
+
+def load_kb_entities(path: str) -> list[SeedEntity]:
+    """Load a KB from an entities parquet file/dir written by
+    ``write_graph_outputs``, sorted by id so the embedding-matrix row order
+    (and therefore candidate tie-breaks) is identical at any read
+    parallelism."""
+    import pyarrow.parquet as pq
+
+    ents = entities_from_rows(pq.read_table(path).to_pylist())
+    ents.sort(key=lambda e: e.id)
+    return ents
+
+
+def kb_entities(cfg=None) -> list[SeedEntity]:
+    """The KB the pipeline disambiguates against: ``cfg.kb_path`` (a prior
+    run's entities table → incremental mode) or the seed corpus.  Memoized
+    per path per process so workers load once, not per batch; the KB is a
+    broadcast-small side by design (entity count ≪ mention count)."""
+    path = getattr(cfg, "kb_path", None)
+    if not path:
+        return build_seed_entities()
+    ents = _KB_MEMO.get(path)
+    if ents is None:
+        if len(_KB_MEMO) > 4:  # bound worker memory across KB versions
+            _KB_MEMO.clear()
+        ents = load_kb_entities(path)
+        _KB_MEMO[path] = ents
+    return ents
+
+
+def kb_vocab(cfg=None) -> tuple[dict[str, MentionEntry], list[list[str]]]:
+    """The mention dictionary for the active KB, process-global per
+    ``kb_path`` — mention building, edge rewrite and sig annotation share
+    one dictionary build per worker.
+
+    Incremental mode does NOT rebuild ``build_vocab`` over the loaded
+    entity list: the typo / type-clash / untyped surface classes are a
+    SEED-CORPUS fixture (index-keyed, FIXTURES.md §3) that the synthetic
+    page generator draws from, so they must stay byte-identical across
+    runs.  The dictionary for a prior-run KB is therefore the seed fixture
+    vocab PLUS exact/alias entries for the created (non-seed) entities,
+    first-wins so fixture surfaces keep their fixture content — created
+    entities are otherwise reached the way the reference reaches them,
+    through the embedding index (disambiguation.py:120-166)."""
+    path = getattr(cfg, "kb_path", None)
+    v = _VOCAB_MEMO.get(path)
+    if v is None:
+        if len(_VOCAB_MEMO) > 4:
+            _VOCAB_MEMO.clear()
+        if not path:
+            v = build_vocab(build_seed_entities())
+        else:
+            d, surfaces = build_vocab(build_seed_entities())
+            d = dict(d)
+            surfaces = list(surfaces)
+            seed_ids = {e.id for e in build_seed_entities()}
+            for e in kb_entities(cfg):  # id-sorted → deterministic
+                if e.id in seed_ids:
+                    continue
+                acc: list[str] = []
+                forms = [e.name, *e.aliases]
+                for s in forms:
+                    if s not in d:
+                        others = [x for x in forms if x != s]
+                        d[s] = MentionEntry(
+                            s, e.type, others, e.definition, e.attributes,
+                            "exact" if s == e.name else "alias")
+                        acc.append(s)
+                surfaces.append(acc)
+            v = (d, surfaces)
+        _VOCAB_MEMO[path] = v
+    return v
+
+
+def kb_entities_table(cfg=None) -> list[dict]:
+    """Arrow-ready rows for the active KB (generalizes
+    ``seed_entities_table`` to incremental runs)."""
+    return [
+        {
+            "id": e.id,
+            "name": e.name,
+            "type": e.type,
+            "aliases": e.aliases,
+            "definition": e.definition,
+            "attributes": e.attributes,
+            "source": e.source,
+            "create_time": e.create_time,
+        }
+        for e in kb_entities(cfg)
+    ]

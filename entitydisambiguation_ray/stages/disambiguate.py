@@ -40,7 +40,7 @@ from ..functions.scoring import (
     make_decision,
 )
 from ..functions.textbuild import embed_text, rerank_text
-from ..sources.seed import build_seed_entities
+from ..sources.seed import kb_entities
 
 DECISION_SCHEMA = pa.schema(
     [
@@ -100,7 +100,9 @@ class KnowledgeBase:
         """``matrix`` — optional precomputed (n, dim) embedding matrix
         (e.g. from ``state.kbstore.load_kb``); skips re-encoding the KB."""
         if entities is None:
-            entities = build_seed_entities()
+            # seed corpus, or cfg.kb_path (a prior run's entities table —
+            # incremental mode, the reference's growing-KB semantics)
+            entities = kb_entities(cfg)
         self.cfg = cfg
         self.encoder = encoder or make_encoder(cfg.encoder, cfg.embedding_dim)
         self.rows = []

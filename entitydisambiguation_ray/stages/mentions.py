@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..functions.hashing import mention_signature
 from ..functions.textbuild import embed_text, rerank_text
-from ..sources.seed import build_seed_entities, build_vocab
+from ..sources.seed import build_seed_entities, build_vocab, kb_vocab
 
 MENTION_SCHEMA = pa.schema(
     [
@@ -123,25 +123,33 @@ def unique_mentions_partial(batch: pa.Table) -> pa.Table:
     return batch.take(sorted(best.values()))
 
 
-_BUILDER: MentionBuilder | None = None
+_BUILDERS: dict[str | None, MentionBuilder] = {}
 
 
-def get_builder() -> MentionBuilder:
+def get_builder(cfg=None) -> MentionBuilder:
     """Process-global builder: the dictionary is built once per WORKER
     PROCESS and shared by every task that runs there.  Running mention
     building as stateless tasks over warm workers avoids spawning dedicated
     actor processes (each of which pays a fresh interpreter + package import
     — measured to dominate wall time at high concurrency); an actor pool
     remains the right shape only when state is too big to rebuild per worker
-    (e.g. a model), which this dictionary is not."""
-    global _BUILDER
-    if _BUILDER is None:
-        _BUILDER = MentionBuilder()
-    return _BUILDER
+    (e.g. a model), which this dictionary is not.
+
+    Keyed by ``cfg.kb_path`` so incremental runs (KB = a prior run's
+    entities table) build their dictionary from the same KB the
+    disambiguator searches."""
+    key = getattr(cfg, "kb_path", None)
+    b = _BUILDERS.get(key)
+    if b is None:
+        if len(_BUILDERS) > 4:
+            _BUILDERS.clear()
+        b = MentionBuilder(kb_vocab(cfg)[0])
+        _BUILDERS[key] = b
+    return b
 
 
-def build_mentions_batch(batch: pa.Table) -> pa.Table:
-    return get_builder()(batch)
+def build_mentions_batch(batch: pa.Table, *, cfg=None) -> pa.Table:
+    return get_builder(cfg)(batch)
 
 
 def surface_sig(surface: str, mention_dict) -> str:
