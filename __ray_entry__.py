@@ -261,6 +261,50 @@ def _q_ngram_jaccard(sf_dir: str):
                                threshold=0.6).sort(["doc_a", "doc_b"])
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """KLL approximate quantiles of l_extendedprice — the sketch (no-sort)
+    counterpart of the exact ``price_quantiles``; rows-only (approximate by
+    design; pytest asserts rank error ≤ 2·(1.65/k) vs the exact answer)."""
+    _quiet()
+    import pandas as pd
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import approx_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = approx_quantiles(ds, "l_extendedprice", qs)
+    return pd.DataFrame({"q": qs, "value": vals})
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Misra–Gries approximate top tokens over documents — the mergeable-
+    sketch counterpart of the exact ``token_freq``; rows-only (approximate
+    counts; pytest asserts the [est, est+err] bound against exact counts
+    and top-set agreement on the head)."""
+    _quiet()
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import heavy_hitters_sketch
+
+    tok_re = re.compile(r"\S+")
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(tok_re.findall(t))
+        return pa.table({"tok": pa.array(toks, pa.string())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"]).map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True)
+    return heavy_hitters_sketch(ds, "tok", k=100).head(20)
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Winnowing (rolling-hash local fingerprints, Schleimer et al. 2003)
     near-dup candidates over documents — rows-only (positional rolling
@@ -603,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)
         "kg_edges_blocked": _q_kg_edges_blocked,
         "kg_incremental": _q_kg_incremental,        # rows-only (chained KB)
+        "approx_quantiles": _q_approx_quantiles,    # rows-only (KLL sketch)
+        "heavy_hitters": _q_heavy_hitters,          # rows-only (MG sketch)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,

@@ -183,3 +183,196 @@ class BloomFilter:
         b = cls(m_bits, k)
         b.words = np.frombuffer(data, dtype=np.uint64).copy()
         return b
+
+
+class KLL:
+    """KLL quantile sketch (Karnin, Lang & Liberty, FOCS 2016): a stack of
+    compactor buffers where level ``i`` items carry weight ``2^i``; a full
+    level sorts itself and promotes every other item (random parity) to the
+    level above.  Mergeable (concatenate levels, re-compact), fixed memory
+    ~O(k), normalized rank error ≈ 1.65/k w.h.p.
+
+    The compaction parity comes from a seeded SplitMix64 counter, so a run
+    over the same blocks is bit-reproducible (no process-global RNG); the
+    tests assert rank tolerance, not byte equality, across batchings."""
+
+    def __init__(self, k: int = 200, seed: int = 0x5EED):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._ctr = int(seed)
+
+    def _parity(self) -> int:
+        self._ctr = (self._ctr + 1) & _M64
+        return splitmix64(self._ctr) & 1
+
+    def _capacity(self, level: int, depth: int) -> int:
+        # top levels get the full k; lower (lighter) levels shrink by 2/3
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** (depth - 1 - level))))
+
+    def _compress(self) -> None:
+        while True:
+            depth = len(self.levels)
+            for lv in range(depth):
+                if len(self.levels[lv]) > self._capacity(lv, depth):
+                    buf = np.sort(self.levels[lv])
+                    keep = buf[self._parity()::2]
+                    if lv + 1 == depth:
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[lv + 1] = np.concatenate(
+                        [self.levels[lv + 1], keep])
+                    self.levels[lv] = np.empty(0, np.float64)
+                    break
+            else:
+                return
+
+    def add_many(self, values) -> "KLL":
+        arr = np.asarray(values, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        self.levels[0] = np.concatenate([self.levels[0], arr])
+        self._compress()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        for lv, buf in enumerate(other.levels):
+            while lv >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[lv] = np.concatenate([self.levels[lv], buf])
+        self._compress()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        items = np.concatenate(self.levels)
+        if len(items) == 0:
+            return np.full(len(qs), np.nan)
+        weights = np.concatenate([
+            np.full(len(buf), 1 << lv, np.float64)
+            for lv, buf in enumerate(self.levels)])
+        order = np.argsort(items, kind="mergesort")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        # rank position of q = q * total_weight (continuous-rank convention)
+        targets = np.asarray(qs, np.float64) * cum[-1]
+        idx = np.minimum(np.searchsorted(cum, targets, side="left"),
+                         len(items) - 1)
+        return items[idx]
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps([b for b in self.levels], protocol=4)
+
+    @classmethod
+    def deserialize(cls, data: bytes, k: int = 200) -> "KLL":
+        import pickle
+
+        s = cls(k)
+        s.levels = [np.asarray(b, np.float64) for b in pickle.loads(data)]
+        return s
+
+
+def approx_quantiles(ds, column: str, qs, k: int = 200):
+    """Distributed approximate quantiles: one KLL sketch per batch (the
+    combiner, ~k float64s regardless of batch size) merged on the driver —
+    no shuffle, no sort of the data.  The exact counterpart (bit-identical
+    to percentile_cont, one full sort) is ``relational.price_quantiles``;
+    this is the scale path when a full sort of the column is the
+    bottleneck.  Rank error ≈ 1.65/k."""
+    import pyarrow as pa
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        s = KLL(k).add_many(
+            batch.column(column).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = KLL(k)
+    for b in parts["sketch"]:
+        acc.merge(KLL.deserialize(b, k))
+    return acc.quantiles(qs)
+
+
+class MisraGries:
+    """Misra–Gries heavy-hitters summary (Misra & Gries 1982) with the
+    PODS-2012 mergeable-summaries merge (Agarwal et al.): counters add,
+    then every counter is decremented by the (k+1)-th largest and
+    non-positives drop — the summed error bounds add, keeping the global
+    guarantee ``true_count - n/(k+1) ≤ est ≤ true_count``.
+
+    Per-batch build: exact vectorized value counts (a batch fits in heap
+    by construction) truncated to a valid summary by the same
+    (k+1)-th-count subtraction.  ``err`` carries the accumulated
+    subtraction so estimates come with a certified ± bound."""
+
+    def __init__(self, k: int = 50):
+        self.k = int(k)
+        self.counts: dict = {}
+        self.err = 0  # upper bound on undercount of any key
+
+    def add_counts(self, keys, counts) -> "MisraGries":
+        for key, c in zip(keys, counts):
+            self.counts[key] = self.counts.get(key, 0) + int(c)
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.sort(np.fromiter(self.counts.values(), np.int64))
+        cut = int(vals[-(self.k + 1)])  # (k+1)-th largest
+        self.counts = {key: c - cut for key, c in self.counts.items()
+                       if c > cut}
+        self.err += cut
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for key, c in other.counts.items():
+            self.counts[key] = self.counts.get(key, 0) + c
+        self.err += other.err
+        self._shrink()
+        return self
+
+    def estimates(self):
+        """[(key, est_count, err)] sorted by est desc then key — the true
+        count of each key lies in [est, est + err]."""
+        rows = sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return [(key, int(c), int(self.err)) for key, c in rows]
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.counts, self.err), protocol=4)
+
+    @classmethod
+    def deserialize(cls, data: bytes, k: int = 50) -> "MisraGries":
+        import pickle
+
+        mg = cls(k)
+        mg.counts, mg.err = pickle.loads(data)
+        return mg
+
+
+def heavy_hitters_sketch(ds, column: str, k: int = 50):
+    """Distributed approximate top-k values of ``column``: one Misra–Gries
+    summary per batch (k counters — the combiner, serialized like the HLL /
+    Bloom stages) merged on the driver.  The exact counterpart is
+    ``relational.token_freq`` (Counter combiner → keyed shuffle sum); this
+    is the scale path when even the distinct-key set of a partition
+    outgrows its heap.  Returns a DataFrame (value, count, err) sorted by
+    estimate desc — each value's TRUE count lies in [count, count+err]."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        vc = batch.group_by(column).aggregate([([], "count_all")])
+        mg = MisraGries(k).add_counts(
+            vc.column(column).to_pylist(),
+            vc.column("count_all").to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([mg.serialize()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = MisraGries(k)
+    for b in parts["sketch"]:
+        acc.merge(MisraGries.deserialize(b, k))
+    rows = acc.estimates()
+    return pd.DataFrame(rows, columns=["value", "count", "err"])

@@ -377,3 +377,56 @@ def test_round2_prune_invariant_guard():
     with pytest.raises(ValueError, match="not exact"):
         distributed_round2_edges(rd.from_items([{"decision": "create"}]),
                                  EngineConfig(high_threshold=0.65))
+
+
+def test_kll_quantile_accuracy(ray_session):
+    """KLL sketch rank error ≤ 2·(1.65/k) vs exact quantiles on a skewed
+    distribution; merge-of-parts ≈ sketch-of-whole; serialize roundtrip."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import (
+        KLL,
+        approx_quantiles,
+    )
+
+    n = 100_000
+    ds = rd.range(n).map_batches(
+        # deterministic skewed values: exp of a uniform grid, shuffled by
+        # a multiplicative hop so batches are not pre-sorted
+        lambda b: {"v": np.exp(((b["id"] * 48271) % n) / n * 5.0)},
+        batch_format="numpy")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ds, "v", qs, k=200)
+    allv = np.sort(np.exp(((np.arange(n) * 48271) % n) / n * 5.0))
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(allv, e) / n
+        assert abs(rank - q) <= 2 * (1.65 / 200), (q, rank)
+    s = KLL(100).add_many(allv[:5000])
+    rt = KLL.deserialize(s.serialize(), 100)
+    assert np.allclose(rt.quantiles(qs), s.quantiles(qs))
+
+
+def test_misra_gries_bound_and_topset(ray_session):
+    """MG summary: estimates obey [est, est+err] vs exact counts and the
+    exact top-5 of a Zipf-ish stream survives the merge."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.sketches import heavy_hitters_sketch
+
+    n = 60_000
+    # zipf-ish: value v appears ~n/(v+1)^1.2 times, deterministic
+    ds = rd.range(n).map_batches(
+        lambda b: {"v": np.floor(((b["id"] * 2654435761 % n) / n)
+                                 ** 3 * 40).astype("int64")},
+        batch_format="numpy")
+    out = heavy_hitters_sketch(ds, "v", k=30)
+    vals = np.floor(((np.arange(n) * 2654435761 % n) / n) ** 3
+                    * 40).astype("int64")
+    import collections
+
+    exact = collections.Counter(vals.tolist())
+    for _, row in out.head(10).iterrows():
+        t = exact[row["value"]]
+        assert row["count"] <= t <= row["count"] + row["err"], dict(row)
+    top5_true = [k for k, _ in exact.most_common(5)]
+    assert set(top5_true) <= set(out.head(10)["value"])
