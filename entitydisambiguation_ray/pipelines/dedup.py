@@ -24,6 +24,7 @@ from ..stages.dedup import (
 )
 from ..stages.partition import dedup_first, partitioned_groupby
 from ..stages.textops import fingerprint_batch
+from .relational import _round_half_away
 
 _VERIFY_CACHE: dict[str, dict] = {}
 
@@ -501,7 +502,9 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({
             "doc_a": ids[ia[keep]],
             "doc_b": ids[ib[keep]],
-            "jaccard": np.round(jac[keep], 4),
+            # DuckDB-compatible half-away rounding (np.round is half-even
+            # and diverges on exact dyadic halves like 21/32)
+            "jaccard": _round_half_away(jac[keep], 4),
         })
 
     return ds.groupby(block_col).map_groups(group_pairs,

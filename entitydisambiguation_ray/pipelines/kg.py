@@ -42,7 +42,12 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..sources.pages import make_pages_batch
-from ..sources.seed import kb_entities, kb_entities_table, kb_vocab
+from ..sources.seed import (
+    kb_cache_key,
+    kb_entities,
+    kb_entities_table,
+    kb_vocab,
+)
 from ..stages.disambiguate import Disambiguator, disambiguate_batch
 from ..stages.extract import extract_text_batch, triples_batch
 from ..stages.mentions import (
@@ -230,7 +235,7 @@ _REWRITERS: dict[tuple, EdgeRewriter] = {}
 def rewrite_edges_batch(batch: pa.Table, *, canonical_ref,
                         cfg=None) -> pa.Table:
     """Stateless-task wrapper with a process-global rewriter per map ref."""
-    key = (canonical_ref.hex(), getattr(cfg, "kb_path", None))
+    key = (canonical_ref.hex(), kb_cache_key(cfg))
     rw = _REWRITERS.get(key)
     if rw is None:
         _REWRITERS.clear()
@@ -246,7 +251,7 @@ def add_sigs_batch(batch: pa.Table, *, cfg=None) -> pa.Table:
     """triples → + (src_sig, dst_sig): the mention signature of each
     endpoint surface, resolved once per UNIQUE surface per batch
     (dictionary-encode) with a process-global vocab + memo."""
-    key = getattr(cfg, "kb_path", None)
+    key = kb_cache_key(cfg)
     st = _SIG_VOCAB.get(key)
     if st is None:
         if len(_SIG_VOCAB) > 4:

@@ -281,8 +281,30 @@ def entities_from_rows(rows: list[dict]) -> list[SeedEntity]:
     return out
 
 
-_KB_MEMO: dict[str, list[SeedEntity]] = {}
-_VOCAB_MEMO: dict[str | None, tuple] = {}
+_KB_MEMO: dict[tuple, list[SeedEntity]] = {}
+_VOCAB_MEMO: dict[tuple | None, tuple] = {}
+
+
+def kb_cache_key(cfg=None) -> tuple | None:
+    """Per-process memo key for the active KB: (path, file fingerprint).
+    The fingerprint (name, size, mtime_ns per parquet file) guards against
+    serving a stale KB when a chained run REWRITES the entities table at
+    the same path within one Ray session — warm workers would otherwise
+    hit the path-keyed memo and disambiguate against the old entities.
+    A few os.stat calls per batch; no content read."""
+    import os
+
+    path = getattr(cfg, "kb_path", None)
+    if not path:
+        return None
+    if os.path.isdir(path):
+        fp = tuple(sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in os.scandir(path) if e.is_file()))
+    else:
+        st = os.stat(path)
+        fp = ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    return (path, fp)
 
 
 def load_kb_entities(path: str) -> list[SeedEntity]:
@@ -302,15 +324,15 @@ def kb_entities(cfg=None) -> list[SeedEntity]:
     run's entities table → incremental mode) or the seed corpus.  Memoized
     per path per process so workers load once, not per batch; the KB is a
     broadcast-small side by design (entity count ≪ mention count)."""
-    path = getattr(cfg, "kb_path", None)
-    if not path:
+    key = kb_cache_key(cfg)
+    if key is None:
         return build_seed_entities()
-    ents = _KB_MEMO.get(path)
+    ents = _KB_MEMO.get(key)
     if ents is None:
         if len(_KB_MEMO) > 4:  # bound worker memory across KB versions
             _KB_MEMO.clear()
-        ents = load_kb_entities(path)
-        _KB_MEMO[path] = ents
+        ents = load_kb_entities(key[0])
+        _KB_MEMO[key] = ents
     return ents
 
 
@@ -328,12 +350,12 @@ def kb_vocab(cfg=None) -> tuple[dict[str, MentionEntry], list[list[str]]]:
     first-wins so fixture surfaces keep their fixture content — created
     entities are otherwise reached the way the reference reaches them,
     through the embedding index (disambiguation.py:120-166)."""
-    path = getattr(cfg, "kb_path", None)
-    v = _VOCAB_MEMO.get(path)
+    key = kb_cache_key(cfg)
+    v = _VOCAB_MEMO.get(key)
     if v is None:
         if len(_VOCAB_MEMO) > 4:
             _VOCAB_MEMO.clear()
-        if not path:
+        if key is None:
             v = build_vocab(build_seed_entities())
         else:
             d, surfaces = build_vocab(build_seed_entities())
@@ -354,7 +376,7 @@ def kb_vocab(cfg=None) -> tuple[dict[str, MentionEntry], list[list[str]]]:
                         acc.append(s)
                 surfaces.append(acc)
             v = (d, surfaces)
-        _VOCAB_MEMO[path] = v
+        _VOCAB_MEMO[key] = v
     return v
 
 

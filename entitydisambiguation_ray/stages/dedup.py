@@ -176,7 +176,7 @@ def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
     per-position Python loop."""
     n = len(data) - k + 1
     h = np.zeros(n, dtype=np.uint64)
-    for j in range(k):  # k is small (default 5); each step is vectorized
+    for j in range(k):  # k is small (default 12); each step is vectorized
         h = h * _WINNOW_BASE + data[j:j + n].astype(np.uint64)
     return h
 

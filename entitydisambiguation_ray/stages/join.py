@@ -93,6 +93,8 @@ def count_hot_keys(ds: rd.Dataset, key: str, threshold: int,
             "pre-filter nulls (shuffle_hash_join's documented contract) or "
             "accept the skew", key, total_null, threshold)
     hot = counts.loc[counts["n"] > threshold]
+    if salt_max == 0:  # raw counts requested (hot_group_keys ranks by mass)
+        return {k: int(n) for k, n in zip(hot[key], hot["n"])}
     return {k: int(min(salt_max, math.ceil(n / threshold)))
             for k, n in zip(hot[key], hot["n"])}
 

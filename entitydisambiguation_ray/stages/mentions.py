@@ -25,7 +25,12 @@ import pyarrow as pa
 
 from ..functions.hashing import mention_signature
 from ..functions.textbuild import embed_text, rerank_text
-from ..sources.seed import build_seed_entities, build_vocab, kb_vocab
+from ..sources.seed import (
+    build_seed_entities,
+    build_vocab,
+    kb_cache_key,
+    kb_vocab,
+)
 
 MENTION_SCHEMA = pa.schema(
     [
@@ -123,7 +128,7 @@ def unique_mentions_partial(batch: pa.Table) -> pa.Table:
     return batch.take(sorted(best.values()))
 
 
-_BUILDERS: dict[str | None, MentionBuilder] = {}
+_BUILDERS: dict[tuple | None, MentionBuilder] = {}
 
 
 def get_builder(cfg=None) -> MentionBuilder:
@@ -135,10 +140,11 @@ def get_builder(cfg=None) -> MentionBuilder:
     remains the right shape only when state is too big to rebuild per worker
     (e.g. a model), which this dictionary is not.
 
-    Keyed by ``cfg.kb_path`` so incremental runs (KB = a prior run's
-    entities table) build their dictionary from the same KB the
-    disambiguator searches."""
-    key = getattr(cfg, "kb_path", None)
+    Keyed by ``kb_cache_key(cfg)`` (path + file fingerprint) so incremental
+    runs (KB = a prior run's entities table) build their dictionary from
+    the same KB the disambiguator searches, even when a chained run
+    rewrites the same path in-session."""
+    key = kb_cache_key(cfg)
     b = _BUILDERS.get(key)
     if b is None:
         if len(_BUILDERS) > 4:

@@ -62,8 +62,11 @@ def hot_group_keys(ds: rd.Dataset, key: str, threshold: int,
     hot-keys-only — bounded by skew, not cardinality."""
     from .join import count_hot_keys
 
-    hot = count_hot_keys(ds, key, threshold, salt_max=1)
-    keys = sorted(hot)[:max_isolated]
+    hot = count_hot_keys(ds, key, threshold, salt_max=0)  # {key: row count}
+    # HEAVIEST first (deterministic key tiebreak) — capping by key VALUE
+    # order could drop exactly the pathological key that motivated
+    # isolation while spending the budget on barely-hot keys
+    keys = sorted(hot, key=lambda k: (-hot[k], str(k)))[:max_isolated]
     return {k: i for i, k in enumerate(keys)}
 
 

@@ -92,3 +92,25 @@ def test_incremental_distributed_canonicalize_matches_driver(chain):
     assert s1 == s2
     assert set(dist["entities_ds"].to_pandas()["id"]) == set(
         drv["entities_df"]["id"])
+
+
+def test_kb_memo_invalidated_when_path_rewritten(chain, tmp_path):
+    """Rewriting the entities table at the SAME path in-session must serve
+    the new KB, not a stale memo (kb_cache_key fingerprints the files)."""
+    import dataclasses
+    import shutil
+
+    from entitydisambiguation_ray.sources.seed import kb_entities
+
+    out1, out2, paths = chain
+    p = tmp_path / "entities"
+    shutil.copytree(paths["entities"], p)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, kb_path=str(p))
+    n1 = len(kb_entities(cfg))
+    # overwrite with run 2's (larger) entities table at the same path
+    shutil.rmtree(p)
+    from entitydisambiguation_ray.pipelines.kg import write_graph_outputs
+
+    write_graph_outputs(out2, str(tmp_path))  # writes {tmp_path}/entities
+    n2 = len(kb_entities(cfg))
+    assert n2 > n1, "stale KB served after in-place rewrite"

@@ -243,3 +243,20 @@ def test_shuffle_join_string_keys(ray_session, how):
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
         exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True))
+
+
+def test_hot_group_keys_caps_by_mass_not_key_order(ray_session):
+    """With more hot keys than the isolation budget, the HEAVIEST keys get
+    the dedicated partitions — capping by key-value order could drop
+    exactly the pathological key that motivated isolation."""
+    from entitydisambiguation_ray.stages.partition import hot_group_keys
+
+    # key 900 (sorts LAST by value) is catastrophically heavy; keys 1..3
+    # are barely hot
+    df = pd.DataFrame({"user_id": np.concatenate([
+        np.full(5000, 900, np.int64),
+        np.repeat(np.array([1, 2, 3], np.int64), 600)])})
+    hot = hot_group_keys(rd.from_pandas(df), "user_id",
+                         threshold=500, max_isolated=2)
+    assert 900 in hot, "heaviest key must be isolated"
+    assert len(hot) == 2
