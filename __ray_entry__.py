@@ -473,6 +473,21 @@ def _q_quality(sf_dir: str):
         ["doc_id", "n_chars_q", "punct_ratio", "alpha_ratio"]).sort("doc_id")
 
 
+def _q_gopher_quality(sf_dir: str):
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.textops import gopher_flags_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(gopher_flags_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(
+        ["doc_id", "ok_wordcount", "ok_wordlen", "ok_stopwords",
+         "keep"]).sort("doc_id")
+
+
 def _q_langid(sf_dir: str):
     _quiet()
     import ray.data as rd
@@ -643,6 +658,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_average": R.moving_average,
         "dense_rank_topk": R.dense_rank_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "doc_freq_vocab": R.doc_freq_vocab,
+        "corr_by_group": R.corr_by_group,
+        "stratified_sample": R.stratified_sample,
+        "gopher_quality": _q_gopher_quality,
         # pytest-covered variants/stubs
         "winnow_pairs": _q_winnow_pairs,            # rows-only (local fps)
         "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)
@@ -709,6 +728,10 @@ def oracle_sql() -> dict[str, str]:
         "moving_average": R.SQL_MOVING_AVERAGE,
         "dense_rank_topk": R.SQL_DENSE_RANK_TOPK,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "doc_freq_vocab": R.SQL_DOC_FREQ_VOCAB,
+        "corr_by_group": R.SQL_CORR_BY_GROUP,
+        "stratified_sample": R.SQL_STRATIFIED_SAMPLE,
+        "gopher_quality": SQL_GOPHER_QUALITY,
     }
 
 
@@ -737,6 +760,26 @@ FROM documents ORDER BY doc_id
 
 SQL_FINGERPRINT = """
 SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
+"""
+
+SQL_GOPHER_QUALITY = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 90
+         AS ok_wordcount,
+       (CAST(length(text) AS DOUBLE)
+          - (len(regexp_extract_all(text, '\S+')) - 1))
+         / greatest(len(regexp_extract_all(text, '\S+')), 1)
+         BETWEEN 4.0 AND 5.0 AS ok_wordlen,
+       len(regexp_extract_all(text,
+           '\b(?:the|a|of|and|to|in|is|on|for)\b')) >= 2 AS ok_stopwords,
+       (len(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 90)
+         AND ((CAST(length(text) AS DOUBLE)
+                 - (len(regexp_extract_all(text, '\S+')) - 1))
+               / greatest(len(regexp_extract_all(text, '\S+')), 1)
+               BETWEEN 4.0 AND 5.0)
+         AND (len(regexp_extract_all(text,
+              '\b(?:the|a|of|and|to|in|is|on|for)\b')) >= 2) AS keep
+FROM documents ORDER BY doc_id
 """
 
 SQL_EXACT_DEDUP = """

@@ -1586,3 +1586,172 @@ SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
 FROM customer QUALIFY rnk <= 3
 ORDER BY c_mktsegment, rnk, c_custkey
 """
+
+
+# --------------------------------------------------------------- per-lang document-frequency vocabulary
+
+def doc_freq_vocab(sf_dir: str):
+    """Per-language document-frequency vocabulary (the expensive half of a
+    TF-IDF pass over a training corpus): for every language, the 20 tokens
+    that appear in the most documents.  Scale shape mirrors ``token_freq``:
+    a per-batch combiner counts each token ONCE per document (set
+    semantics, so a batch emits at most |vocab| rows regardless of token
+    repetitions), a keyed groupby sums the partials, and a per-block top-k
+    prune means only 20 × langs × blocks candidate rows ever reach the
+    driver.  Output is integer-pure (df counts), so the SQL hash check is
+    exact by construction."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", ["lang", "text"])
+    tok_re = re.compile(r"\S+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        langs = batch.column("lang").to_pylist()
+        for lang, t in zip(langs, batch.column("text").to_pylist()):
+            for tok in set(tok_re.findall(t)):
+                c[(lang, tok)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "tok": pa.array([k[1] for k in keys], pa.string()),
+            "df": pa.array(list(c.values()), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby(["lang", "tok"]).aggregate(Sum("df", alias_name="df"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "df", "tok"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("lang", as_index=False).head(20)
+
+    cand = agg.map_batches(block_topk, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    cand = cand.sort_values(["lang", "df", "tok"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = cand.groupby("lang", as_index=False).head(20).copy()
+    top["df"] = top["df"].astype("int64")
+    return top[["lang", "tok", "df"]].reset_index(drop=True)
+
+
+SQL_DOC_FREQ_VOCAB = r"""
+WITH t AS (
+  SELECT lang, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS tok
+  FROM documents
+), d AS (
+  SELECT lang, tok, count(*) AS df FROM t GROUP BY lang, tok
+)
+SELECT lang, tok, df FROM (
+  SELECT lang, tok, df,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY df DESC, tok) AS rn
+  FROM d) WHERE rn <= 20
+ORDER BY lang, df DESC, tok
+"""
+
+
+# --------------------------------------------------------------- grouped Pearson correlation
+
+def corr_by_group(sf_dir: str):
+    """Pearson correlation of extended price vs quantity per return flag —
+    the one-pass SUFFICIENT-STATISTICS pattern: each batch emits six
+    numbers per group (n, Σx, Σy, Σxy, Σx², Σy²), a keyed groupby sums
+    them, and the driver finishes with the closed-form correlation on a
+    groups-sized frame.  No shuffle of fact rows, no second pass — the
+    canonical way to do grouped statistics (corr/cov/var/stddev) over a
+    corpus too large to sort or collect."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch.column("l_returnflag").to_pandas(),
+            "x": batch.column("l_quantity").to_numpy(zero_copy_only=False),
+            "y": batch.column("l_extendedprice")
+            .to_numpy(zero_copy_only=False)})
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        agg = df.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        # empty batches degrade pandas dtypes/schema; emit a typed empty
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=pa.schema([
+            ("g", pa.string()), ("n", pa.int64()), ("sx", pa.float64()),
+            ("sy", pa.float64()), ("sxy", pa.float64()),
+            ("sxx", pa.float64()), ("syy", pa.float64())]))
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("g").aggregate(
+                Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy")) \
+            .to_pandas()
+    n = out["n"].astype("float64")
+    cov = n * out["sxy"] - out["sx"] * out["sy"]
+    vx = n * out["sxx"] - out["sx"] ** 2
+    vy = n * out["syy"] - out["sy"] ** 2
+    out["corr_qty_price"] = _round_half_away(
+        (cov / np.sqrt(vx * vy)).to_numpy(), 4)
+    out["n"] = out["n"].astype("int64")
+    out = out.rename(columns={"g": "l_returnflag"})
+    return out[["l_returnflag", "n", "corr_qty_price"]] \
+        .sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_CORR_BY_GROUP = """
+SELECT l_returnflag, count(*) AS n,
+       ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- stratified deterministic sample
+
+def stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sample: the 5 documents per language with
+    the smallest md5(doc_id) digests — hash-ordered, so the sample is
+    stable across runs, machines, partitioning and resumes (the property
+    training-data pipelines need for reproducible eval splits).  Scale
+    shape: per-block per-lang top-5 prune (a superset of the global
+    answer by the same subset argument as dense_rank_topk), then a tiny
+    driver merge of 5 × langs × blocks candidates."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        h = [hashlib.md5(s.encode()).hexdigest() for s in ids]
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "h": h})
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False)
+                                    .head(5), preserve_index=False)
+
+    cand = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+    out = cand.groupby("lang", as_index=False).head(5)
+    return out[["lang", "doc_id"]].sort_values(["lang", "doc_id"]) \
+        .reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents) WHERE rn <= 5
+ORDER BY lang, doc_id
+"""

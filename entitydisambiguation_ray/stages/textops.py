@@ -99,3 +99,41 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
         batch = batch.append_column("fp_roll",
                                     pa.array(rolls, type=pa.uint64()))
     return batch
+
+def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
+                       min_tokens: int = 20, max_tokens: int = 90,
+                       min_awl: float = 4.0, max_awl: float = 5.0,
+                       min_stop_hits: int = 2) -> pa.Table:
+    """Gopher-style document quality RULES (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 quality heuristics), adapted to
+    this corpus's ranges: per document, boolean flags for
+    (1) word count within [min_tokens, max_tokens],
+    (2) mean word length within [min_awl, max_awl],
+    (3) at least ``min_stop_hits`` stopword occurrences —
+    plus ``keep`` = all three.  All-Arrow kernels (count_substring_regex),
+    no Python row loop; the flags are exact-reproducible in SQL because
+    both engines compare the same IEEE doubles built from the same integer
+    counts."""
+    text = batch.column(text_col)
+    length = pc.cast(pc.utf8_length(text), pa.float64())
+    tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.float64())
+    safe_tok = pc.max_element_wise(tokens, 1.0)
+    # mean word length over whitespace-separated tokens: total non-separator
+    # chars = length - (tokens - 1) single-space separators (corpus texts
+    # are single-space joined; the SQL oracle uses the identical formula).
+    awl = pc.divide(pc.subtract(length, pc.subtract(tokens, 1.0)), safe_tok)
+    stop = pa.array(np.zeros(batch.num_rows))
+    for w in _STOPWORDS:
+        stop = pc.add(stop, pc.cast(
+            pc.count_substring_regex(text, rf"\b{w}\b"), pa.float64()))
+    ok_wc = pc.and_(pc.greater_equal(tokens, float(min_tokens)),
+                    pc.less_equal(tokens, float(max_tokens)))
+    ok_awl = pc.and_(pc.greater_equal(awl, min_awl),
+                     pc.less_equal(awl, max_awl))
+    ok_stop = pc.greater_equal(stop, float(min_stop_hits))
+    batch = batch.append_column("ok_wordcount", ok_wc)
+    batch = batch.append_column("ok_wordlen", ok_awl)
+    batch = batch.append_column("ok_stopwords", ok_stop)
+    batch = batch.append_column("keep", pc.and_(pc.and_(ok_wc, ok_awl),
+                                                ok_stop))
+    return batch

@@ -47,6 +47,8 @@ def _assert_matches(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
 @pytest.mark.parametrize("name", [
     "multi_join_chain", "pivot_counts", "moving_average",
     "dense_rank_topk", "ngram_jaccard_pairs",
+    "doc_freq_vocab", "corr_by_group", "stratified_sample",
+    "gopher_quality",
 ])
 def test_oracle_parity(ray_session, name):
     import __ray_entry__ as entry
