@@ -197,6 +197,29 @@ def _q_kg_neighbors(sf_dir: str):
         drop=True)
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    from entitydisambiguation_ray.pipelines.graph import copurchase_pairs
+    return copurchase_pairs(sf_dir)
+
+
+def _q_kg_pagerank(sf_dir: str):
+    """PageRank over the constructed KG edge table (graph-analytics
+    consumption of the flagship output — pipelines/graph.py): top-20
+    entities by rank.  Rows-only: iterative float dataflow has no SQL
+    oracle; tests/test_graph.py asserts the distributed ranks against a
+    dense power-iteration oracle."""
+    _quiet()
+    from entitydisambiguation_ray.pipelines.graph import pagerank
+
+    edges = _kg_outputs(sf_dir, "edges")
+    ranks = pagerank(edges, src="src_id", dst="dst_id", iters=10,
+                     nparts=4).to_pandas()
+    ranks = ranks.sort_values(["rank", "node"], ascending=[False, True],
+                              kind="mergesort").head(20)
+    ranks["rank"] = ranks["rank"].round(10)
+    return ranks[["node", "rank"]].reset_index(drop=True)
+
+
 def _q_kg_pr_vs_oracle(sf_dir: str):
     """Self-certifying conformance metric: precision/recall of the batch
     pipeline's canonical triples against the sequential online oracle
@@ -582,7 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
     flagship family (including the self-certifying ``kg_pr_vs_oracle``
     P/R gate) fills the cap; everything after position 50 is pytest-covered
-    — rows-only approximates/stubs plus five SQL-checkable round-3
+    — rows-only approximates/stubs plus thirteen SQL-checkable round-3
     additions whose oracle parity test_round3b.py asserts with the same
     DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
@@ -662,6 +685,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_by_group": R.corr_by_group,
         "stratified_sample": R.stratified_sample,
         "gopher_quality": _q_gopher_quality,
+        "outer_join_full": R.outer_join_full,
+        "groupby_mode": R.groupby_mode,
+        "tfidf_top_terms": R.tfidf_top_terms,
+        "copurchase_pairs": _q_copurchase_pairs,
+        "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         # pytest-covered variants/stubs
         "winnow_pairs": _q_winnow_pairs,            # rows-only (local fps)
         "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)
@@ -677,6 +705,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from entitydisambiguation_ray.pipelines import relational as R
+    from entitydisambiguation_ray.pipelines.graph import (
+        SQL_COPURCHASE_PAIRS as _SQL_COPURCHASE,
+    )
 
     return {
         "scan_sort_limit": R.SQL_SCAN_SORT_LIMIT,
@@ -732,6 +763,10 @@ def oracle_sql() -> dict[str, str]:
         "corr_by_group": R.SQL_CORR_BY_GROUP,
         "stratified_sample": R.SQL_STRATIFIED_SAMPLE,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "outer_join_full": R.SQL_OUTER_JOIN_FULL,
+        "groupby_mode": R.SQL_GROUPBY_MODE,
+        "tfidf_top_terms": R.SQL_TFIDF_TOP_TERMS,
+        "copurchase_pairs": _SQL_COPURCHASE,
     }
 
 

@@ -1755,3 +1755,235 @@ SELECT lang, doc_id FROM (
   FROM documents) WHERE rn <= 5
 ORDER BY lang, doc_id
 """
+
+
+# --------------------------------------------------------------- full outer shuffle join
+
+def outer_join_full(sf_dir: str):
+    """Per-customer revenue in 1994 vs 1995 via a FULL OUTER
+    co-partitioned shuffle join (``shuffle_hash_join(how="outer")``) —
+    customers active in only one of the years keep their row with a -1.0
+    sentinel on the silent side (COALESCE parity with the SQL oracle).
+    Scale shape: each year's side is a per-batch partial sum combiner
+    over orders followed by a small keyed groupby (per-customer sums,
+    never raw fact rows, enter the join shuffle); the outer join itself
+    is the one wide exchange, and only the 200-row sorted head reaches
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import shuffle_hash_join
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def year_partial(year: int):
+        def f(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(
+                pc.equal(pc.year(batch.column("o_orderdate")), year))
+            df = pd.DataFrame({
+                "custkey": sub.column("o_custkey")
+                .to_numpy(zero_copy_only=False),
+                "rev": sub.column("o_totalprice")
+                .to_numpy(zero_copy_only=False)})
+            agg = df.groupby("custkey", as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(
+                agg, preserve_index=False,
+                schema=pa.schema([("custkey", pa.int64()),
+                                  ("rev", pa.float64())]))
+        return f
+
+    a = (orders.map_batches(year_partial(1994), batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("custkey").aggregate(Sum("rev", alias_name="rev_1994")))
+    b = (orders.map_batches(year_partial(1995), batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("custkey").aggregate(Sum("rev", alias_name="rev_1995")))
+    j = shuffle_hash_join(
+        a, b, on="custkey", how="outer", nparts=8,
+        ltypes={"custkey": pa.int64(), "rev_1994": pa.float64()},
+        rtypes={"custkey": pa.int64(), "rev_1995": pa.float64()})
+    out = j.sort("custkey").limit(200).to_pandas()
+    for c in ("rev_1994", "rev_1995"):
+        vals = _round_half_away(out[c].to_numpy(dtype="float64"), 2)
+        out[c] = np.where(np.isnan(vals), -1.0, vals)
+    out["custkey"] = out["custkey"].astype("int64")
+    return out[["custkey", "rev_1994", "rev_1995"]].reset_index(drop=True)
+
+
+SQL_OUTER_JOIN_FULL = """
+WITH a AS (
+  SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS rev_1994
+  FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1),
+b AS (
+  SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS rev_1995
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)
+SELECT custkey,
+       COALESCE(rev_1994, -1.0) AS rev_1994,
+       COALESCE(rev_1995, -1.0) AS rev_1995
+FROM a FULL OUTER JOIN b USING (custkey)
+ORDER BY custkey LIMIT 200
+"""
+
+
+# --------------------------------------------------------------- grouped mode
+
+def groupby_mode(sf_dir: str):
+    """Modal market segment per nation — grouped MODE with a
+    deterministic smallest-value tiebreak.  Scale shape: a per-batch
+    (group, value) count combiner, one keyed groupby summing the counts
+    (the only shuffle, |groups × values|-sized, not row-sized), then a
+    per-block argmax prune — the global winner beats every same-group row
+    in its own block, so block-top-1 → driver-top-1 is exact
+    (max-of-maxes), and only groups × blocks candidate rows reach the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": batch.column("c_nationkey")
+            .to_numpy(zero_copy_only=False),
+            "mode_segment": batch.column("c_mktsegment")
+            .to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["c_nationkey", "mode_segment"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(
+            agg, preserve_index=False,
+            schema=pa.schema([("c_nationkey", pa.int64()),
+                              ("mode_segment", pa.string()),
+                              ("n", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["c_nationkey", "mode_segment"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def block_top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "n", "mode_segment"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("c_nationkey", as_index=False).head(1)
+
+    cand = agg.map_batches(block_top1, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    cand = cand.sort_values(["c_nationkey", "n", "mode_segment"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby("c_nationkey", as_index=False).head(1).copy()
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["c_nationkey", "mode_segment", "n"]]
+            .sort_values("c_nationkey").reset_index(drop=True))
+
+
+SQL_GROUPBY_MODE = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_mktsegment AS mode_segment, n FROM (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY count(*) DESC, c_mktsegment) AS rn
+  FROM customer GROUP BY c_nationkey, c_mktsegment) WHERE rn = 1
+ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------- per-doc TF-IDF top terms
+
+def tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (vocabulary = tokens appearing in
+    ≥2 documents — the standard min-df cut, stated in both engines).
+    Scale shape: pass 1 builds the document-frequency map with the same
+    set-semantics combiner as ``doc_freq_vocab`` (a batch emits at most
+    |vocab| rows) and BROADCASTS it once via ``ray.put`` — vocabulary-
+    sized, not corpus-sized; pass 2 is embarrassingly parallel: each
+    batch scores its own documents against the broadcast map (tf from a
+    per-doc token count, idf = ln(N/df)) and emits only 3 rows per doc.
+    Token rows are never shuffled.  Scores stay unrounded through the
+    ranking (both engines rank the same float64 bits) and are rounded to
+    4 decimals only for display/hashing."""
+    import math
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    tok_re = re.compile(r"\S+")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for tok in set(tok_re.findall(t)):
+                c[tok] += 1
+        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    dft = (ds.map_batches(df_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("tok").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    dfmap = {t: int(n) for t, n in zip(dft["tok"], dft["df"]) if n >= 2}
+    ref = ray.put(dfmap)
+
+    class Score:
+        def __init__(self, df_ref, n):
+            self.dfmap = ray.get(df_ref)   # once per actor
+            self.n = float(n)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, toks_out, scores = [], [], []
+            for did, t in zip(batch.column("doc_id").to_pylist(),
+                              batch.column("text").to_pylist()):
+                toks = tok_re.findall(t)
+                if not toks:
+                    continue
+                length = float(len(toks))
+                scored = [((c / length) * math.log(self.n / self.dfmap[tok]),
+                           tok)
+                          for tok, c in Counter(toks).items()
+                          if tok in self.dfmap]
+                scored.sort(key=lambda s: (-s[0], s[1]))
+                for sc, tok in scored[:3]:
+                    ids.append(did)
+                    toks_out.append(tok)
+                    scores.append(sc)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "tok": pa.array(toks_out, pa.string()),
+                             "tfidf": pa.array(scores, pa.float64())})
+
+    out = (ds.map_batches(Score, fn_constructor_args=(ref, n_docs),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=2)
+           .to_pandas())
+    out = out.sort_values(["doc_id", "tfidf", "tok"],
+                          ascending=[True, False, True], kind="mergesort")
+    out["tfidf"] = _round_half_away(out["tfidf"].to_numpy(), 4)
+    return out[["doc_id", "tok", "tfidf"]].reset_index(drop=True)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), df AS (
+  SELECT tok, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok
+  HAVING count(*) >= 2
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, tok, ROUND(score, 4) AS tfidf FROM (
+  SELECT tf.doc_id, tf.tok,
+         (CAST(cnt AS DOUBLE) / len) * ln(CAST(n.n AS DOUBLE) / df.df)
+           AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (CAST(cnt AS DOUBLE) / len)
+                    * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.tok) AS rn
+  FROM tf
+  JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n) t
+WHERE rn <= 3
+ORDER BY doc_id, rn
+"""

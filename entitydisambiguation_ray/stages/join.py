@@ -25,6 +25,11 @@ Semantics notes (pandas merge semantics, documented not hidden):
   joining nullable keys must pre-filter nulls to get SQL semantics.
 - how="left": right-side value columns contain NaN for unmatched rows
   (ints widen to float64, as in pandas).
+- how="outer": FULL OUTER — unmatched rows from EITHER side survive with
+  NaN on the silent side; key columns are coalesced (pandas fills the
+  join key from whichever side has it).  Incompatible with ``salt_hot``
+  (replicating hot right rows across salt shards would emit an unmatched
+  right row once per shard).
 - how="semi"/"anti": output is left rows only (no right columns).
 """
 from __future__ import annotations
@@ -38,7 +43,7 @@ import ray.data as rd
 
 from .partition import hash_key_rows, hash_partition_ids
 
-_HOW = ("inner", "left", "semi", "anti")
+_HOW = ("inner", "left", "outer", "semi", "anti")
 _SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -227,6 +232,10 @@ def shuffle_hash_join(
     if salt_hot and (not isinstance(on, str) or
                      (right_on is not None and not isinstance(right_on, str))):
         raise ValueError("salt_hot supports single-column keys only")
+    if salt_hot and how == "outer":
+        raise ValueError("salt_hot is incompatible with how='outer': "
+                         "replicated hot right rows would duplicate "
+                         "unmatched-right output rows")
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = (lkeys if right_on is None
              else [right_on] if isinstance(right_on, str) else list(right_on))
@@ -334,7 +343,12 @@ def shuffle_hash_join(
         # the result is identical (nulls become NaN codes, matching pandas'
         # NaN==NaN merge semantics for object keys).
         mkeys = list(lkeys)
-        for i, k in enumerate(str_keys):
+        # outer merges MUST join on the raw key columns: pandas coalesces
+        # the join key from whichever side has it, which int32 code
+        # columns would break (the left raw key stays NaN on
+        # right-only rows).  Outer joins skip the code fast path.
+        enc_keys = [] if how == "outer" else str_keys
+        for i, k in enumerate(enc_keys):
             col = tbl.column(k)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()  # per-chunk dicts aren't comparable

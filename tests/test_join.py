@@ -132,3 +132,43 @@ def test_key_type_coercion(ray_session):
     got = shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
                             on="k", nparts=4).to_pandas()
     assert sorted(got["k"].tolist()) == [2, 3]
+
+
+def test_outer_join_matches_pandas(ray_session):
+    left, right = _mk(seed=5)
+    got = shuffle_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_on="rk", how="outer", nparts=16).to_pandas()
+    exp = left.merge(right.rename(columns={"rk": "k", "name": "name_r"}),
+                     on="k", how="outer")
+    cols = ["k", "lv", "name", "name_r", "rv"]
+    assert sorted(got.columns) == sorted(cols)
+    # unmatched-right keys must survive with their key value coalesced
+    right_only = set(right["rk"]) - set(left["k"])
+    assert right_only and right_only <= set(got["k"])
+    fills = {"name": "", "name_r": "", "lv": -1, "rv": 0.0}
+    pd.testing.assert_frame_equal(_canon(got.fillna(fills), cols),
+                                  _canon(exp.fillna(fills), cols))
+
+
+def test_outer_join_string_key(ray_session):
+    left = pd.DataFrame({"k": [f"k{i % 13}" for i in range(200)],
+                         "lv": np.arange(200)})
+    right = pd.DataFrame({"k": [f"k{i % 19}" for i in range(60)],
+                          "rv": np.arange(60) * 2})
+    got = shuffle_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", how="outer", nparts=8).to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    cols = ["k", "lv", "rv"]
+    assert not got["k"].isna().any()  # keys always coalesced, never null
+    pd.testing.assert_frame_equal(_canon(got.fillna(-1), cols),
+                                  _canon(exp.fillna(-1), cols))
+
+
+def test_outer_join_rejects_salt(ray_session):
+    left, right = _mk(seed=7)
+    with pytest.raises(ValueError, match="outer"):
+        shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", right_on="rk", how="outer",
+                          salt_hot={5: 4})

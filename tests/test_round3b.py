@@ -48,7 +48,8 @@ def _assert_matches(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
     "multi_join_chain", "pivot_counts", "moving_average",
     "dense_rank_topk", "ngram_jaccard_pairs",
     "doc_freq_vocab", "corr_by_group", "stratified_sample",
-    "gopher_quality",
+    "gopher_quality", "outer_join_full", "groupby_mode",
+    "tfidf_top_terms", "copurchase_pairs",
 ])
 def test_oracle_parity(ray_session, name):
     import __ray_entry__ as entry
