@@ -31,6 +31,23 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("token_count", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-compatible constructs (no
+# lookahead — Arrow's count_substring_regex and DuckDB's regexp_extract_all
+# BOTH run RE2 with default leftmost-first alternation, so the oracle and
+# the engine share regex semantics bit-for-bit): contraction suffixes,
+# optionally space-prefixed letter runs / digit runs / punctuation runs,
+# residual whitespace runs.  The proxy every LLM-cost estimator needs when
+# the real BPE merges table isn't loadable (weights absent in sandbox).
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``bpe_token_count`` (GPT-2-ish pre-tokenizer segment count —
+    the standard fast token-cost proxy; see ``_BPE_RE``)."""
+    n = pc.count_substring_regex(batch.column(text_col), _BPE_RE)
+    return batch.append_column("bpe_token_count", pc.cast(n, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds quality-signal columns:
     ``n_chars_q`` (length), ``punct_ratio``, ``alpha_ratio``,
