@@ -227,6 +227,45 @@ def _q_copurchase_pairs(sf_dir: str):
     return copurchase_pairs(sf_dir)
 
 
+def _q_kg_graph_stats(sf_dir: str):
+    """Global shape of the constructed graph — node/edge counts, degree
+    extremes, weakly-connected component count — every aggregate computed
+    Dataset-resident (component labels via ``distributed_components``;
+    the driver sees one scalar per stat).  Rows-only: the inputs are the
+    flagship's computed tables."""
+    _quiet()
+    import pandas as pd
+    import pyarrow as pa
+
+    from entitydisambiguation_ray.state.unionfind import (
+        distributed_components,
+    )
+
+    edges = _kg_outputs(sf_dir, "edges")
+    n_edges = edges.count()
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("src_id").cast(pa.string()),
+                         "b": b.column("dst_id").cast(pa.string())})
+
+    e = edges.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    outdeg = e.groupby("a").count()
+    n_src = outdeg.count()
+    max_out = int(outdeg.max("count()"))
+    nodes = e.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b.column("a").combine_chunks(),
+             b.column("b").combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True).groupby("node").count()
+    n_nodes = nodes.count()
+    labels = distributed_components(e, nparts=4)
+    n_components = labels.groupby("canonical").count().count()
+    return pd.DataFrame({
+        "n_nodes": [n_nodes], "n_edges": [n_edges],
+        "n_source_nodes": [n_src], "max_out_degree": [max_out],
+        "n_components": [n_components]}).astype("int64")
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank over the constructed KG edge table (graph-analytics
     consumption of the flagship output — pipelines/graph.py): top-20
@@ -716,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "token_count_bpe": _q_token_count_bpe,
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
+        "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs
         "winnow_pairs": _q_winnow_pairs,            # rows-only (local fps)
         "ivf_topk": _q_ivf_topk,                    # rows-only (trained IVF)

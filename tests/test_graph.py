@@ -60,3 +60,32 @@ def test_pagerank_all_dangling(ray_session):
     exp = pagerank_dense(edges, iters=5)
     for _, row in got.iterrows():
         assert row["rank"] == pytest.approx(exp[row["node"]], abs=1e-12)
+
+
+def test_kg_graph_stats_consistent(ray_session):
+    """kg_graph_stats (all-distributed aggregates incl.
+    distributed_components) vs a driver-side recomputation on the same
+    edge table."""
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    stats = entry.queries()["kg_graph_stats"](sf)
+    edges = entry._kg_outputs(sf, "edges").to_pandas()
+    a = edges["src_id"].astype(str)
+    b = edges["dst_id"].astype(str)
+    assert stats.loc[0, "n_edges"] == len(edges)
+    assert stats.loc[0, "n_source_nodes"] == a.nunique()
+    assert stats.loc[0, "max_out_degree"] == a.value_counts().max()
+    nodes = set(a) | set(b)
+    assert stats.loc[0, "n_nodes"] == len(nodes)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent[find(x)] = find(y)
+    assert stats.loc[0, "n_components"] == len({find(x) for x in nodes})
