@@ -242,14 +242,21 @@ def _q_kg_graph_stats(sf_dir: str):
     )
 
     edges = _kg_outputs(sf_dir, "edges")
-    n_edges = edges.count()
 
     def proj(b: pa.Table) -> pa.Table:
         return pa.table({"a": b.column("src_id").cast(pa.string()),
                          "b": b.column("dst_id").cast(pa.string())})
 
-    e = edges.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
-    outdeg = e.groupby("a").count()
+    # materialize the projection ONCE — five downstream aggregates would
+    # otherwise each re-execute the flagship edge sort from lineage
+    e = edges.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return pd.DataFrame({
+            "n_nodes": [0], "n_edges": [0], "n_source_nodes": [0],
+            "max_out_degree": [0], "n_components": [0]}).astype("int64")
+    outdeg = e.groupby("a").count().materialize()
     n_src = outdeg.count()
     max_out = int(outdeg.max("count()"))
     nodes = e.map_batches(

@@ -85,7 +85,9 @@ def pagerank(edges: rd.Dataset, *, src: str = "src", dst: str = "dst",
                                 "rank": pa.array([], pa.float64())}),
             batch_format="pyarrow")
 
-    outdeg = e.groupby("src").count()  # (src, count())
+    # (src, count()) — materialized once: each iteration's join would
+    # otherwise re-execute this edge-sized shuffle from lineage
+    outdeg = e.groupby("src").count().materialize()
 
     def init_rank(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -194,6 +196,9 @@ def copurchase_pairs(sf_dir: str):
         # partitioned sum on the same rows.
         from collections import Counter
         c: Counter = Counter()
+        if len(df) and int(df["l_partkey"].max()) >= (1 << 31):
+            raise ValueError("copurchase_pairs packs part ids into 31 bits"
+                             " each; got l_partkey >= 2^31")
         for _, grp in df.groupby("l_orderkey"):
             parts = sorted(set(grp["l_partkey"].tolist()))
             for a, b in combinations(parts, 2):

@@ -1776,28 +1776,42 @@ def outer_join_full(sf_dir: str):
     orders = _pq(sf_dir, "orders",
                  ["o_custkey", "o_orderdate", "o_totalprice"])
 
-    def year_partial(year: int):
-        def f(batch: pa.Table) -> pa.Table:
-            sub = batch.filter(
-                pc.equal(pc.year(batch.column("o_orderdate")), year))
-            df = pd.DataFrame({
-                "custkey": sub.column("o_custkey")
-                .to_numpy(zero_copy_only=False),
-                "rev": sub.column("o_totalprice")
-                .to_numpy(zero_copy_only=False)})
-            agg = df.groupby("custkey", as_index=False)["rev"].sum()
-            return pa.Table.from_pandas(
-                agg, preserve_index=False,
-                schema=pa.schema([("custkey", pa.int64()),
-                                  ("rev", pa.float64())]))
+    def partial(batch: pa.Table) -> pa.Table:
+        # ONE scan feeds both join sides: year folded into the group key
+        # (custkey·2 + year-bit) so the combiner + groupby stay single-
+        # column; the sides split off the materialized (small) aggregate
+        yr = pc.year(batch.column("o_orderdate"))
+        sub = batch.filter(pc.is_in(yr, value_set=pa.array([1994, 1995])))
+        yr = pc.year(sub.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "key": sub.column("o_custkey").to_numpy(zero_copy_only=False)
+            * 2 + (yr - 1994),
+            "rev": sub.column("o_totalprice")
+            .to_numpy(zero_copy_only=False)})
+        agg = df.groupby("key", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False,
+            schema=pa.schema([("key", pa.int64()), ("rev", pa.float64())]))
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("key").aggregate(Sum("rev", alias_name="rev"))
+           .materialize())  # customer-year-sized; read by both sides
+
+    def side(year_bit: int, name: str):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(b.column("key"), 1), year_bit)
+            sub = b.filter(keep)
+            return pa.table({
+                "custkey": pc.shift_right(sub.column("key"), 1),
+                name: sub.column("rev")})
         return f
 
-    a = (orders.map_batches(year_partial(1994), batch_format="pyarrow",
-                            zero_copy_batch=True)
-         .groupby("custkey").aggregate(Sum("rev", alias_name="rev_1994")))
-    b = (orders.map_batches(year_partial(1995), batch_format="pyarrow",
-                            zero_copy_batch=True)
-         .groupby("custkey").aggregate(Sum("rev", alias_name="rev_1995")))
+    a = agg.map_batches(side(0, "rev_1994"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    b = agg.map_batches(side(1, "rev_1995"), batch_format="pyarrow",
+                        zero_copy_batch=True)
     j = shuffle_hash_join(
         a, b, on="custkey", how="outer", nparts=8,
         ltypes={"custkey": pa.int64(), "rev_1994": pa.float64()},
@@ -1953,7 +1967,7 @@ def tfidf_top_terms(sf_dir: str):
 
     out = (ds.map_batches(Score, fn_constructor_args=(ref, n_docs),
                           batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=2)
+                          concurrency=(2, 8))
            .to_pandas())
     out = out.sort_values(["doc_id", "tfidf", "tok"],
                           ascending=[True, False, True], kind="mergesort")
