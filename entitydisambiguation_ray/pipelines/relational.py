@@ -2001,3 +2001,104 @@ SELECT doc_id, tok, ROUND(score, 4) AS tfidf FROM (
 WHERE rn <= 3
 ORDER BY doc_id, rn
 """
+
+
+# --------------------------------------------------------------- weighted deterministic sample
+
+def weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis–Spirakis A-Res, Inf.
+    Proc. Lett. 2006): 30 documents drawn with probability proportional
+    to length — the quality/length-weighted corpus subsampling every
+    training-data pipeline needs, made reproducible by deriving each
+    doc's uniform from md5(doc_id) instead of an RNG.  Key = ln(u)/w
+    (monotone with the paper's u^(1/w)); top-30 keys win.  Scale shape:
+    per-block top-30 prune (superset argument), driver merges 30 ×
+    blocks candidates.  Zero-weight docs are excluded in both engines
+    (ln(u)/0 undefined)."""
+    import hashlib
+    import math
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_chars": batch.column("n_chars")
+            .to_numpy(zero_copy_only=False)})
+        df = df[df["n_chars"] > 0]
+        u = np.array([
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") + 0.5) / 4294967296.0
+            for i in df["doc_id"]])
+        df["s"] = np.log(u) / df["n_chars"].to_numpy(dtype="float64")
+        df = df.sort_values(["s", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        return pa.Table.from_pandas(df.head(30), preserve_index=False)
+
+    cand = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["s", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(30)
+    out = cand[["doc_id", "n_chars"]].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS s
+  FROM documents WHERE n_chars > 0)
+ORDER BY s DESC, doc_id LIMIT 30
+"""
+
+
+# --------------------------------------------------------------- grouped collect (string_agg)
+
+def collect_segments(sf_dir: str):
+    """Per-nation sorted distinct market-segment list as one string —
+    grouped COLLECT/string_agg semantics.  Scale shape: per-batch
+    (nation, segment) DISTINCT combiner (emits at most groups × values
+    rows per batch), keyed coarse partitioned dedup+collect, driver sees
+    only the groups-sized result.  The collected value is a bounded
+    vocabulary (segments), not row data — the only regime where a
+    collect is scale-sane, stated here as the operator's contract."""
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": batch.column("c_nationkey")
+            .to_numpy(zero_copy_only=False),
+            "seg": batch.column("c_mktsegment")
+            .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False,
+            schema=pa.schema([("c_nationkey", pa.int64()),
+                              ("seg", pa.string())]))
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["c_nationkey", "seg"],
+                                              kind="mergesort")
+        return (df.groupby("c_nationkey", as_index=False)["seg"]
+                .agg(lambda s: ",".join(s))
+                .rename(columns={"seg": "segments"}))
+
+    pre = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = partitioned_groupby(pre, "c_nationkey", collect,
+                              nparts=8).to_pandas()
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return (out[["c_nationkey", "segments"]]
+            .sort_values("c_nationkey").reset_index(drop=True))
+
+
+SQL_COLLECT_SEGMENTS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+         AS segments
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
