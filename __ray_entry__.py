@@ -676,7 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
     flagship family (including the self-certifying ``kg_pr_vs_oracle``
     P/R gate) fills the cap; everything after position 50 is pytest-covered
-    — rows-only approximates/stubs plus sixteen SQL-checkable round-3
+    — rows-only approximates/stubs plus seventeen SQL-checkable round-3
     additions whose oracle parity test_round3b.py asserts with the same
     DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_token_count_bpe,
         "weighted_sample": R.weighted_sample,
         "collect_segments": R.collect_segments,
+        "funnel_counts": R.funnel_counts,
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs
@@ -845,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": SQL_TOKEN_COUNT_BPE,
         "weighted_sample": R.SQL_WEIGHTED_SAMPLE,
         "collect_segments": R.SQL_COLLECT_SEGMENTS,
+        "funnel_counts": R.SQL_FUNNEL_COUNTS,
     }
 
 

@@ -2102,3 +2102,64 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
          AS segments
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# --------------------------------------------------------------- event funnel
+
+def funnel_counts(sf_dir: str):
+    """3-stage event funnel (view → click → purchase, each stage strictly
+    at-or-after the previous stage's FIRST occurrence): how many users
+    reach each stage.  The holistic per-user chain (stage-2's cutoff
+    depends on stage-1's min) needs every event of a user together, so
+    the shape is ONE hash shuffle on user_id (``partitioned_groupby``)
+    with a fully vectorized per-partition kernel (three groupby-min
+    passes joined through maps — no per-user Python loop), then each
+    partition emits ONE row of stage counts and the driver sums a
+    partitions-sized frame."""
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(["view", "click", "purchase"])))
+
+    def funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (df[df["event_type"] == "view"]
+              .groupby("user_id")["ts"].min())
+        c = df[df["event_type"] == "click"].copy()
+        c = c[c["user_id"].isin(t1.index)]
+        c = c[c["ts"] >= c["user_id"].map(t1)]
+        t2 = c.groupby("user_id")["ts"].min()
+        p = df[df["event_type"] == "purchase"].copy()
+        p = p[p["user_id"].isin(t2.index)]
+        p = p[p["ts"] >= p["user_id"].map(t2)]
+        t3 = p.groupby("user_id")["ts"].min()
+        return pd.DataFrame({"n_view": [int(len(t1))],
+                             "n_view_click": [int(len(t2))],
+                             "n_funnel_complete": [int(len(t3))]})
+
+    part = partitioned_groupby(
+        ds.map_batches(prefilter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", funnel_partition, nparts=8).to_pandas()
+    out = part.sum().to_frame().T.astype("int64")
+    return out[["n_view", "n_view_click", "n_funnel_complete"]] \
+        .reset_index(drop=True)
+
+
+SQL_FUNNEL_COUNTS = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM t1) AS n_view,
+       (SELECT count(*) FROM t2) AS n_view_click,
+       (SELECT count(*) FROM t3) AS n_funnel_complete
+"""

@@ -50,7 +50,7 @@ def _assert_matches(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
     "doc_freq_vocab", "corr_by_group", "stratified_sample",
     "gopher_quality", "outer_join_full", "groupby_mode",
     "tfidf_top_terms", "copurchase_pairs", "token_count_bpe",
-    "weighted_sample", "collect_segments",
+    "weighted_sample", "collect_segments", "funnel_counts",
 ])
 def test_oracle_parity(ray_session, name):
     import __ray_entry__ as entry
@@ -178,3 +178,43 @@ def test_winnow_hot_bucket_cap(ray_session):
     clones = out[(out["id_a"] < 900) & (out["id_b"] < 900)]
     assert len(clones) == 0
     assert ((out["id_a"] == 900) & (out["id_b"] == 901)).any()
+
+
+def test_funnel_counts_stage_cutoffs(ray_session, tmp_path):
+    """The testdata funnel is degenerate (every user completes); this
+    crafted corpus exercises the chain semantics — stage 2 counts only
+    clicks at-or-after the FIRST view, stage 3 only purchases at-or-after
+    the first qualifying click."""
+    import pandas as pd
+    from entitydisambiguation_ray.pipelines.relational import (
+        funnel_counts, SQL_FUNNEL_COUNTS)
+
+    rows = [
+        # u1 completes in order
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        # u2: click BEFORE view only -> stage 1 only
+        ("u2", "click", 1), ("u2", "view", 2),
+        # u3: no click at all -> stage 1 only (purchase can't skip a stage)
+        ("u3", "view", 1), ("u3", "purchase", 2),
+        # u4: reversed order -> stage 1 only
+        ("u4", "purchase", 1), ("u4", "click", 2), ("u4", "view", 3),
+        # u5: click strictly before view -> stage 1 only
+        ("u5", "view", 5), ("u5", "click", 4),
+        # u6: never views -> counted nowhere
+        ("u6", "click", 1), ("u6", "purchase", 2),
+        # u7: purchase between view and click -> stage 2 only
+        ("u7", "view", 1), ("u7", "purchase", 3), ("u7", "click", 5),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    df["ts"] = pd.to_datetime(df["t"], unit="s")
+    df[["user_id", "event_type", "ts"]].to_parquet(
+        tmp_path / "events.parquet", index=False)
+
+    got = funnel_counts(str(tmp_path))
+    assert got.values.tolist() == [[6, 2, 1]]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path / 'events.parquet'}'")
+    oracle = con.execute(SQL_FUNNEL_COUNTS).df()
+    _assert_matches(got, oracle)
