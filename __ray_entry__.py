@@ -676,7 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
     flagship family (including the self-certifying ``kg_pr_vs_oracle``
     P/R gate) fills the cap; everything after position 50 is pytest-covered
-    — rows-only approximates/stubs plus seventeen SQL-checkable round-3
+    — rows-only approximates/stubs plus eighteen SQL-checkable round-3
     additions whose oracle parity test_round3b.py asserts with the same
     DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
@@ -764,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": R.weighted_sample,
         "collect_segments": R.collect_segments,
         "funnel_counts": R.funnel_counts,
+        "source_stats": R.source_stats,
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs
@@ -847,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": R.SQL_WEIGHTED_SAMPLE,
         "collect_segments": R.SQL_COLLECT_SEGMENTS,
         "funnel_counts": R.SQL_FUNNEL_COUNTS,
+        "source_stats": R.SQL_SOURCE_STATS,
     }
 
 

@@ -2163,3 +2163,56 @@ SELECT (SELECT count(*) FROM t1) AS n_view,
        (SELECT count(*) FROM t2) AS n_view_click,
        (SELECT count(*) FROM t3) AS n_funnel_complete
 """
+
+
+# --------------------------------------------------------------- per-source corpus rollup
+
+def source_stats(sf_dir: str):
+    """Per-source corpus rollup (the per-domain aggregation every
+    web-corpus pipeline runs before domain-level filtering): document
+    count, total characters, total whitespace tokens.  Integer-pure by
+    construction (counts and integer sums only — the hash check is exact
+    with no rounding caveats).  Scale shape: Arrow kernels compute
+    per-row token counts, a per-batch combiner collapses to one row per
+    (source) per batch, and the keyed groupby moves only
+    sources × batches rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(batch.column("text"),
+                                                r"\S+"), pa.int64())
+        df = pd.DataFrame({
+            "source": batch.column("source").to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(batch.num_rows, dtype="int64"),
+            "total_chars": batch.column("n_chars")
+            .to_numpy(zero_copy_only=False),
+            "total_tokens": toks.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False,
+            schema=pa.schema([("source", pa.string()),
+                              ("n_docs", pa.int64()),
+                              ("total_chars", pa.int64()),
+                              ("total_tokens", pa.int64())]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_chars", alias_name="total_chars"),
+                      Sum("total_tokens", alias_name="total_tokens"))
+           .to_pandas())
+    for c in ("n_docs", "total_chars", "total_tokens"):
+        out[c] = out[c].astype("int64")
+    return (out[["source", "n_docs", "total_chars", "total_tokens"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+SQL_SOURCE_STATS = r"""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+         AS total_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
