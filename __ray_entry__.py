@@ -222,6 +222,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+def _q_prefix_jaccard(sf_dir: str):
+    """Exact open-domain (no blocking key) Jaccard near-dup pairs via
+    distributed prefix filtering — pipelines/dedup.prefix_jaccard_pairs."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import prefix_jaccard_pairs
+    from entitydisambiguation_ray.pipelines.relational import _round_half_away
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = prefix_jaccard_pairs(ds, "doc_id", "text",
+                               threshold=0.8, n=1).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["jaccard"] = _round_half_away(out["jaccard"].to_numpy(), 4)
+    for c in ("id_a", "id_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_PREFIX_JACCARD = r"""
+WITH s AS (SELECT doc_id,
+                  list_distinct(regexp_extract_all(text, '\S+')) AS toks
+           FROM documents)
+SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id) t
+WHERE j >= 0.8 ORDER BY id_a, id_b
+"""
+
+
 def _q_copurchase_pairs(sf_dir: str):
     from entitydisambiguation_ray.pipelines.graph import copurchase_pairs
     return copurchase_pairs(sf_dir)
@@ -676,7 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
     flagship family (including the self-certifying ``kg_pr_vs_oracle``
     P/R gate) fills the cap; everything after position 50 is pytest-covered
-    — rows-only approximates/stubs plus eighteen SQL-checkable round-3
+    — rows-only approximates/stubs plus nineteen SQL-checkable round-3
     additions whose oracle parity test_round3b.py asserts with the same
     DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
@@ -765,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collect_segments": R.collect_segments,
         "funnel_counts": R.funnel_counts,
         "source_stats": R.source_stats,
+        "prefix_jaccard_pairs": _q_prefix_jaccard,
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs
@@ -849,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "collect_segments": R.SQL_COLLECT_SEGMENTS,
         "funnel_counts": R.SQL_FUNNEL_COUNTS,
         "source_stats": R.SQL_SOURCE_STATS,
+        "prefix_jaccard_pairs": SQL_PREFIX_JACCARD,
     }
 
 

@@ -177,7 +177,8 @@ def minhash_lsh_pairs(
 
 def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
                        id_col: str, text_col: str,
-                       threshold: float, nparts: int = 32) -> rd.Dataset:
+                       threshold: float, nparts: int = 32,
+                       ngram_n: int = 3) -> rd.Dataset:
     """Exact-Jaccard verification of candidate pairs WITHOUT any driver-side
     text table — a payload-deduplicated cogroup:
 
@@ -275,7 +276,7 @@ def _verify_pairs_join(candidates: rd.Dataset, ds: rd.Dataset,
         def nset(doc_id):
             s = memo.get(doc_id)
             if s is None:
-                s = word_ngrams(tmap.get(doc_id, ""), 3)
+                s = word_ngrams(tmap.get(doc_id, ""), ngram_n)
                 memo[doc_id] = s
             return s
 
@@ -632,3 +633,108 @@ def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
 
     return comps.map_batches(unpad, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def prefix_jaccard_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str,
+    *, threshold: float = 0.7, n: int = 1,
+    bucket_cap: int = 2000, nparts: int = 16,
+) -> rd.Dataset:
+    """EXACT Jaccard ≥ threshold pairs over word-n-gram shingle sets with
+    NO blocking key — prefix filtering (Chaudhuri et al. ICDE 2006;
+    Bayardo et al. WWW 2007 "all-pairs"): under any global token order,
+    two sets with J ≥ t each keep only their first
+    ``|s| − ceil(t·|s|) + 1`` tokens (the prefix), and any qualifying
+    pair is guaranteed to co-occur in at least one prefix-token bucket.
+    Ordering tokens rarest-first makes those buckets df-bounded — a
+    stopword is never anyone's prefix.
+
+    Fully distributed; the global rarity order is NEVER collected:
+
+    1. explode (doc, shingle, set_size) rows — one per DISTINCT shingle
+       per doc (inverted-index volume, the scale anchor);
+    2. cogroup on shingle: document frequency = group size, attached
+       in-partition (no df table, no broadcast);
+    3. cogroup on doc: per-doc sort by (df, shingle) — a total order,
+       globally consistent because df is global — and keep the prefix;
+    4. cogroup on shingle: per-bucket pair emit, capped + logged like
+       the LSH band buckets (`buckets_to_pairs` discipline);
+    5. candidates verified EXACTLY (same shingle definition) by the
+       payload-deduplicated cogroup ``_verify_pairs_join``, which also
+       enforces global pair distinctness.
+
+    Complement inventory: ``ngram_jaccard_pairs`` is exact WITHIN a known
+    block key; ``minhash_lsh_pairs`` is approximate at open-domain scale;
+    this operator is exact AND open-domain, paying one inverted-index
+    shuffle for it."""
+    from ..stages.dedup import word_ngrams
+
+    sep = "\x1f"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks, sizes = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            s = word_ngrams(t, n)
+            for sh in s:
+                ids.append(did)
+                toks.append(sep.join(sh))
+                sizes.append(len(s))
+        return pa.table({"doc": pa.array(ids),
+                         "tok": pa.array(toks, pa.string()),
+                         "size": pa.array(sizes, pa.int64())})
+
+    ex = ds.map_batches(explode, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        # (doc, tok) rows are distinct by construction → group size = df
+        df = df.copy()
+        df["df"] = df.groupby("tok")["tok"].transform("size")
+        return df
+
+    with_df = partitioned_groupby(ex, "tok", attach_df, nparts=nparts)
+
+    def keep_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc", "df", "tok"], kind="mergesort")
+        plen = (df["size"].to_numpy()
+                - np.ceil(threshold * df["size"].to_numpy()) + 1)
+        pos = df.groupby("doc").cumcount().to_numpy()
+        return df.loc[pos < plen, ["doc", "tok"]]
+
+    prefixes = partitioned_groupby(with_df, "doc", keep_prefix,
+                                   nparts=nparts)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        parts_a, parts_b = [], []
+        dropped_pairs = dropped_buckets = 0
+        for _, g in df.groupby("tok"):
+            ids = np.unique(g["doc"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > bucket_cap:
+                dropped_pairs += len(ids) * (len(ids) - 1) // 2
+                dropped_buckets += 1
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts_a.append(ids[ia])
+            parts_b.append(ids[ib])
+        if dropped_buckets:
+            import logging
+            logging.getLogger(__name__).warning(
+                "prefix_jaccard dropped %d candidate pairs from %d hot "
+                "prefix buckets (cap %d) — rarity ordering should keep "
+                "buckets small; a hit here means near-identical mass",
+                dropped_pairs, dropped_buckets, bucket_cap)
+        if not parts_a:
+            return pd.DataFrame({"id_a": df["doc"].iloc[0:0],
+                                 "id_b": df["doc"].iloc[0:0]})
+        return pd.DataFrame({"id_a": np.concatenate(parts_a),
+                             "id_b": np.concatenate(parts_b)})
+
+    cand = partitioned_groupby(prefixes, "tok", bucket_pairs,
+                               nparts=nparts)
+    # the verify cogroup routes by hash(pair) — bucket duplicates
+    # co-locate and global distinctness is enforced there
+    return _verify_pairs_join(cand, ds, id_col, text_col, threshold,
+                              nparts=nparts, ngram_n=n)

@@ -51,7 +51,7 @@ def _assert_matches(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
     "gopher_quality", "outer_join_full", "groupby_mode",
     "tfidf_top_terms", "copurchase_pairs", "token_count_bpe",
     "weighted_sample", "collect_segments", "funnel_counts",
-    "source_stats",
+    "source_stats", "prefix_jaccard_pairs",
 ])
 def test_oracle_parity(ray_session, name):
     import __ray_entry__ as entry
@@ -219,3 +219,68 @@ def test_funnel_counts_stage_cutoffs(ray_session, tmp_path):
                 f"'{tmp_path / 'events.parquet'}'")
     oracle = con.execute(SQL_FUNNEL_COUNTS).df()
     _assert_matches(got, oracle)
+
+
+# ------------------------------------------------- prefix-filtered jaccard
+
+def _prefix_corpus():
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet town square this evening").split()
+    rows = []
+    # cluster of near-identical docs (1-2 word edits)
+    for i in range(6):
+        words = list(base)
+        words[i] = f"variant{i}"
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # second cluster, different vocabulary
+    alt = ("many data pipelines shuffle large tables across machines "
+           "every night to build training corpora at scale").split()
+    for i in range(4):
+        words = list(alt)
+        words[-1 - i] = f"alt{i}"
+        rows.append({"doc_id": 100 + i, "text": " ".join(words)})
+    # unrelated docs sharing only stopwords with the clusters
+    for i in range(8):
+        rows.append({"doc_id": 200 + i,
+                     "text": f"the unique document number {i} discusses "
+                             f"topic{i} and nothing else of note here"})
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_prefix_jaccard_matches_bruteforce(ray_session, threshold):
+    """Prefix filtering is EXACT: output identical (ids and jaccard
+    floats) to naive all-pairs over the same shingle definition."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import prefix_jaccard_pairs
+    from entitydisambiguation_ray.stages.dedup import jaccard, word_ngrams
+
+    rows = _prefix_corpus()
+    got = (prefix_jaccard_pairs(rd.from_items(rows), "doc_id", "text",
+                                threshold=threshold, n=1)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ja = jaccard(word_ngrams(rows[i]["text"], 1),
+                         word_ngrams(rows[j]["text"], 1))
+            if ja >= threshold:
+                want.append((rows[i]["doc_id"], rows[j]["doc_id"], ja))
+    want_df = pd.DataFrame(want, columns=["id_a", "id_b", "jaccard"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(want_df) > 0  # the corpus must actually exercise recall
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_prefix_jaccard_no_pairs(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    rows = [{"doc_id": i, "text": f"utterly distinct text number{i} "
+             f"about subject{i} only"} for i in range(10)]
+    got = prefix_jaccard_pairs(rd.from_items(rows), "doc_id", "text",
+                               threshold=0.9, n=1).to_pandas()
+    assert len(got) == 0
