@@ -2216,3 +2216,41 @@ SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
          AS total_tokens
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------- fixed-width histogram
+
+def price_histogram(sf_dir: str):
+    """Fixed-width histogram of lineitem extended price (20 buckets of
+    width 5000) — the data-profiling primitive behind every schema/
+    distribution report.  Integer-pure: bucket ids from floor division,
+    counts from a per-batch bincount combiner, one tiny keyed groupby;
+    the hash check is exact with no float caveats."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"])
+    width = 5000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor(p / width).astype("int64"), 19)
+        counts = np.bincount(b, minlength=20)
+        return pa.table({"bucket": pa.array(np.arange(20), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = out[out["n"] > 0]
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT bucket, count(*) AS n FROM (
+  SELECT least(CAST(floor(l_extendedprice / 5000.0) AS BIGINT), 19)
+    AS bucket FROM lineitem) t
+GROUP BY bucket ORDER BY bucket
+"""
