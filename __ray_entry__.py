@@ -711,7 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
     flagship family (including the self-certifying ``kg_pr_vs_oracle``
     P/R gate) fills the cap; everything after position 50 is pytest-covered
-    — rows-only approximates/stubs plus twenty SQL-checkable round-3
+    — rows-only approximates/stubs plus twenty-one SQL-checkable round-3
     additions whose oracle parity test_round3b.py asserts with the same
     DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
@@ -802,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": R.source_stats,
         "prefix_jaccard_pairs": _q_prefix_jaccard,
         "price_histogram": R.price_histogram,
+        "event_transitions": R.event_transitions,
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs
@@ -888,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": R.SQL_SOURCE_STATS,
         "prefix_jaccard_pairs": SQL_PREFIX_JACCARD,
         "price_histogram": R.SQL_PRICE_HISTOGRAM,
+        "event_transitions": R.SQL_EVENT_TRANSITIONS,
     }
 
 

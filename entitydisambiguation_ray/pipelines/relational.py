@@ -2254,3 +2254,55 @@ SELECT bucket, count(*) AS n FROM (
     AS bucket FROM lineitem) t
 GROUP BY bucket ORDER BY bucket
 """
+
+
+# --------------------------------------------------------------- event transition matrix
+
+def event_transitions(sf_dir: str):
+    """Event-type transition matrix (Markov counts): for every user's
+    event sequence ordered by (ts, event_id), count consecutive
+    type→type transitions across all users.  The holistic per-user
+    kernel shape again — ONE hash shuffle on user_id, a vectorized
+    in-partition sort + shift (no per-user loop), per-partition
+    (from, to) count combiner, then a tiny keyed groupby.  Integer-pure
+    output."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import partitioned_groupby
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        same_user = df["user_id"].to_numpy()[1:] == \
+            df["user_id"].to_numpy()[:-1]
+        frm = df["event_type"].to_numpy()[:-1][same_user]
+        to = df["event_type"].to_numpy()[1:][same_user]
+        out = (pd.DataFrame({"type_from": frm, "type_to": to})
+               .groupby(["type_from", "type_to"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return pd.DataFrame({
+            "type_from": out["type_from"].astype(str),
+            "type_to": out["type_to"].astype(str),
+            "n": out["n"].astype("int64")})
+
+    agg = (partitioned_groupby(ds, "user_id", transitions, nparts=8)
+           .groupby(["type_from", "type_to"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["type_from", "type_to", "n"]]
+            .sort_values(["type_from", "type_to"]).reset_index(drop=True))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS type_from, next_type AS type_to, count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY type_from, type_to
+"""
