@@ -711,7 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     FIRST 50 entries, so 42 SQL-checked queries come first, then the KG
     flagship family (including the self-certifying ``kg_pr_vs_oracle``
     P/R gate) fills the cap; everything after position 50 is pytest-covered
-    — rows-only approximates/stubs plus twenty-one SQL-checkable round-3
+    — rows-only approximates/stubs plus twenty-two SQL-checkable round-3
     additions whose oracle parity test_round3b.py asserts with the same
     DuckDB SQL the driver would run."""
     from entitydisambiguation_ray.pipelines import relational as R
@@ -803,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_jaccard_pairs": _q_prefix_jaccard,
         "price_histogram": R.price_histogram,
         "event_transitions": R.event_transitions,
+        "centroid_by_label": R.centroid_by_label,
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs
@@ -890,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard_pairs": SQL_PREFIX_JACCARD,
         "price_histogram": R.SQL_PRICE_HISTOGRAM,
         "event_transitions": R.SQL_EVENT_TRANSITIONS,
+        "centroid_by_label": R.SQL_CENTROID_BY_LABEL,
     }
 
 

@@ -2306,3 +2306,67 @@ SELECT event_type AS type_from, next_type AS type_to, count(*) AS n
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY type_from, type_to
 """
+
+
+# --------------------------------------------------------------- per-label embedding centroid
+
+def centroid_by_label(sf_dir: str):
+    """Per-label embedding centroid (the class-centroid primitive behind
+    nearest-centroid classification, IVF coarse quantizers and cluster
+    drift monitoring): mean vector per label over the embeddings table.
+    Scale shape: per-batch float64 sum-vector + count per label (a batch
+    emits labels × dims combiner rows, never raw vectors), the (label,
+    dim) pair packed into ONE int64 key for the keyed groupby (the
+    engine's measured rule: never shuffle-aggregate on multi-column
+    keys), and a labels × dims driver finish.  Mean rounded to 6
+    decimals in both engines (float sums are order-dependent)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "cnt": pa.array([], pa.int64())})
+        flat = pc.list_flatten(batch.column("embedding")) \
+            .to_numpy(zero_copy_only=False).astype("float64")
+        d = len(flat) // n
+        m = flat.reshape(n, d)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        keys, sums, cnts = [], [], []
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            s = rows.sum(axis=0)
+            keys.append(int(lab) * 4096 + np.arange(d, dtype="int64"))
+            sums.append(s)
+            cnts.append(np.full(d, rows.shape[0], dtype="int64"))
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "s": pa.array(np.concatenate(sums), pa.float64()),
+                         "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("key").aggregate(Sum("s", alias_name="s"),
+                                     Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    key = agg["key"].to_numpy(dtype="int64")
+    out = pd.DataFrame({
+        "label": key // 4096,
+        "dim": key % 4096,
+        "centroid": _round_half_away(
+            (agg["s"] / agg["cnt"]).to_numpy(), 6)})
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_CENTROID_BY_LABEL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+       ROUND(sum(v) / count(*), 6) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS i
+      FROM embeddings) t
+GROUP BY label, i ORDER BY label, dim
+"""

@@ -52,7 +52,7 @@ def _assert_matches(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
     "tfidf_top_terms", "copurchase_pairs", "token_count_bpe",
     "weighted_sample", "collect_segments", "funnel_counts",
     "source_stats", "prefix_jaccard_pairs", "price_histogram",
-    "event_transitions",
+    "event_transitions", "centroid_by_label",
 ])
 def test_oracle_parity(ray_session, name):
     import __ray_entry__ as entry
