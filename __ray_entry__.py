@@ -257,6 +257,19 @@ WHERE j >= 0.8 ORDER BY id_a, id_b
 """
 
 
+
+def _q_nearest_centroid(sf_dir: str):
+    """Nearest-centroid classification QA over the embeddings table
+    (rows-only: the 640-float crossjoin SQL is unreasonable; exact numpy
+    oracle in tests/test_dedup_ann.py)."""
+    _quiet()
+    from entitydisambiguation_ray.pipelines.ann import (
+        nearest_centroid_accuracy,
+    )
+
+    return nearest_centroid_accuracy(sf_dir)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     from entitydisambiguation_ray.pipelines.graph import copurchase_pairs
     return copurchase_pairs(sf_dir)
@@ -804,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": R.price_histogram,
         "event_transitions": R.event_transitions,
         "centroid_by_label": R.centroid_by_label,
+        "nearest_centroid": _q_nearest_centroid,  # rows-only (numpy oracle)
         "kg_pagerank": _q_kg_pagerank,          # rows-only (iterative)
         "kg_graph_stats": _q_kg_graph_stats,    # rows-only (computed KG)
         # pytest-covered variants/stubs

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -233,3 +234,95 @@ def ivf_topk(
 
     filtered = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_topk(filtered, id_col, vec_col, qm, k=k)
+
+
+def nearest_centroid_accuracy(sf_dir: str):
+    """Nearest-centroid classification of the embeddings table against its
+    own per-label centroids (the evaluation loop behind prototype
+    classifiers and IVF assignment QA): per label, how many vectors fall
+    nearest their own centroid.  Scale shape: centroids come from the
+    packed-key combiner aggregate (labels × dims driver payload),
+    broadcast once via ``ray.put``; assignment is one (batch × k)
+    matmul per batch with a per-batch (label, assigned) count combiner —
+    vectors are never shuffled.  Rows-only query (the 640-float
+    crossjoin SQL is not reasonably expressible); tests assert exact
+    agreement with a driver-side numpy oracle."""
+    import os
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat = pc.list_flatten(batch.column("embedding")) \
+            .to_numpy(zero_copy_only=False).astype("float64")
+        d = len(flat) // max(n, 1)
+        m = flat.reshape(n, d)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        keys, sums, cnts = [], [], []
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            keys.append(int(lab) * 4096 + np.arange(d, dtype="int64"))
+            sums.append(rows.sum(axis=0))
+            cnts.append(np.full(d, rows.shape[0], dtype="int64"))
+        if not keys:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "s": pa.array(np.concatenate(sums), pa.float64()),
+                         "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+
+    agg = (ds.map_batches(cent_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("key").aggregate(Sum("s", alias_name="s"),
+                                     Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    key = agg["key"].to_numpy(dtype="int64")
+    labs = np.unique(key // 4096)
+    d = int((key % 4096).max()) + 1
+    cent = np.zeros((len(labs), d))
+    lab_pos = {int(l): i for i, l in enumerate(labs)}
+    for k, s, c in zip(key, agg["s"], agg["cnt"]):
+        cent[lab_pos[int(k // 4096)], int(k % 4096)] = s / c
+    cent_ref = ray.put((cent, labs.astype("int64")))
+
+    class Assign:
+        def __init__(self, ref):
+            self.cent, self.labs = ray.get(ref)
+            self.c2 = (self.cent ** 2).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            flat = pc.list_flatten(batch.column("embedding")) \
+                .to_numpy(zero_copy_only=False).astype("float64")
+            m = flat.reshape(n, len(flat) // max(n, 1))
+            # argmin ||x-c||^2 = argmin c2 - 2 x·c
+            dist = self.c2[None, :] - 2.0 * (m @ self.cent.T)
+            assigned = self.labs[np.argmin(dist, axis=1)]
+            true = batch.column("label").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            df = (pd.DataFrame({"label": true,
+                                "ok": (assigned == true).astype("int64")})
+                  .groupby("label", as_index=False)
+                  .agg(n=("ok", "size"), n_correct=("ok", "sum")))
+            return pa.Table.from_pandas(df, preserve_index=False,
+                                        schema=pa.schema(
+                                            [("label", pa.int64()),
+                                             ("n", pa.int64()),
+                                             ("n_correct", pa.int64())]))
+
+    out = (ds.map_batches(Assign, fn_constructor_args=(cent_ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+           .groupby("label").aggregate(Sum("n", alias_name="n"),
+                                       Sum("n_correct",
+                                           alias_name="n_correct"))
+           .to_pandas())
+    for c in ("label", "n", "n_correct"):
+        out[c] = out[c].astype("int64")
+    return (out[["label", "n", "n_correct"]]
+            .sort_values("label").reset_index(drop=True))

@@ -430,3 +430,32 @@ def test_misra_gries_bound_and_topset(ray_session):
         assert row["count"] <= t <= row["count"] + row["err"], dict(row)
     top5_true = [k for k, _ in exact.most_common(5)]
     assert set(top5_true) <= set(out.head(10)["value"])
+
+
+def test_nearest_centroid_matches_numpy(ray_session):
+    """Distributed nearest-centroid confusion counts == a driver-side
+    numpy recomputation on the same table (exact, integer counts)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from entitydisambiguation_ray.pipelines.ann import (
+        nearest_centroid_accuracy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = nearest_centroid_accuracy(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["label", "embedding"])
+    m = np.array(t.column("embedding").to_pylist(), dtype="float64")
+    labels = np.array(t.column("label").to_pylist(), dtype="int64")
+    labs = np.unique(labels)
+    cent = np.stack([m[labels == l].mean(axis=0) for l in labs])
+    # same algebraic form as the engine (c2 - 2 x.c) so argmin ties
+    # break identically
+    dist = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+    assigned = labs[np.argmin(dist, axis=1)]
+    for _, row in got.iterrows():
+        mask = labels == row["label"]
+        assert row["n"] == int(mask.sum())
+        assert row["n_correct"] == int((assigned[mask] == row["label"]).sum())
+    assert got["n"].sum() == len(labels)
