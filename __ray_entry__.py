@@ -588,8 +588,6 @@ def _q_ivf_topk(sf_dir: str):
 
 def _q_token_count(sf_dir: str):
     _quiet()
-    import functools
-
     import ray.data as rd
 
     from entitydisambiguation_ray.stages.textops import token_count_batch
