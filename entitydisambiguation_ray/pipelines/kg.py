@@ -1057,3 +1057,67 @@ def write_graph_outputs(out: dict, out_dir: str) -> dict:
     dec.write_parquet(dec_dir)
     paths["decisions"] = dec_dir
     return paths
+
+
+def export_neo4j_bulk(out: dict, out_dir: str) -> dict:
+    """Neo4j bulk-import export of the constructed graph — the sink a
+    reference user migrating off the live Neo4j store
+    (/root/reference/services/neo4j_database.py:120-166, entity/edge
+    CREATE path) actually loads: ``neo4j-admin database import`` CSV
+    layout with ONE driver-written header file per table plus HEADERLESS
+    distributed part files (the documented bulk-import contract —
+    ``--nodes=header.csv,part-*.csv``), so the export parallelizes and
+    never funnels rows through the driver.
+
+    Layout: ``{out_dir}/nodes.header.csv`` + ``{out_dir}/nodes/part-*``,
+    same for ``relationships``, plus ``IMPORT.txt`` with the exact
+    neo4j-admin invocation.  Returns the path dict."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _headerless():  # WriteOptions is not picklable; build per worker
+        from pyarrow import csv as pacsv
+        return {"write_options": pacsv.WriteOptions(include_header=False)}
+
+    if "entities_df" in out:
+        ents = rd.from_pandas(
+            out["entities_df"].sort_values("id").reset_index(drop=True))
+    else:
+        ents = out["entities_ds"].sort("id")
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": b.column("id").cast(pa.string()),
+            "name": b.column("name").cast(pa.string()),
+            "type": b.column("type").cast(pa.string()),
+            "label": pa.array(["Entity"] * b.num_rows, pa.string())})
+
+    nodes_dir = os.path.join(out_dir, "nodes")
+    ents.map_batches(node_rows, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .write_csv(nodes_dir, arrow_csv_args_fn=_headerless)
+    with open(os.path.join(out_dir, "nodes.header.csv"), "w") as f:
+        f.write("id:ID,name,type,:LABEL\n")
+
+    def rel_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("src_id").cast(pa.string()),
+            "dst": b.column("dst_id").cast(pa.string()),
+            "rel": b.column("rel_type").cast(pa.string())})
+
+    rels_dir = os.path.join(out_dir, "relationships")
+    out["edges"].map_batches(rel_rows, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .write_csv(rels_dir, arrow_csv_args_fn=_headerless)
+    with open(os.path.join(out_dir, "relationships.header.csv"), "w") as f:
+        f.write(":START_ID,:END_ID,:TYPE\n")
+
+    with open(os.path.join(out_dir, "IMPORT.txt"), "w") as f:
+        f.write(
+            "neo4j-admin database import full \\\n"
+            f"  --nodes={out_dir}/nodes.header.csv,{out_dir}/nodes/.* \\\n"
+            f"  --relationships={out_dir}/relationships.header.csv,"
+            f"{out_dir}/relationships/.* \\\n"
+            "  --id-type=string neo4j\n")
+    return {"nodes": nodes_dir, "relationships": rels_dir}

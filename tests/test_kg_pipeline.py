@@ -121,3 +121,47 @@ def test_write_graph_outputs(ray_session, kg_result, tmp_path):
     assert ents["id"].is_unique
     dec = rd.read_parquet(partition_files([paths["decisions"]])).to_pandas()
     assert dec["sig"].is_unique
+
+
+def test_export_neo4j_bulk(ray_session, tmp_path):
+    """Bulk-import CSV export: headerless distributed parts + one header
+    file per table; every entity/edge row survives and edge endpoints
+    reference exported node ids."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from entitydisambiguation_ray.pipelines.kg import (
+        export_neo4j_bulk,
+        run_kg_pipeline,
+        synth_pages_dataset,
+    )
+
+    out = run_kg_pipeline(synth_pages_dataset(40, seed=1))
+    paths = export_neo4j_bulk(out, str(tmp_path / "neo4j"))
+
+    nh = open(tmp_path / "neo4j" / "nodes.header.csv").read().strip()
+    assert nh == "id:ID,name,type,:LABEL"
+    node_parts = sorted(glob.glob(os.path.join(paths["nodes"], "*")))
+    assert node_parts
+    nodes = pd.concat([pd.read_csv(p, header=None,
+                                   names=nh.split(","))
+                       for p in node_parts], ignore_index=True)
+    ents = (out["entities_df"] if "entities_df" in out
+            else out["entities_ds"].to_pandas())
+    assert len(nodes) == len(ents)
+    assert set(nodes["id:ID"].astype(str)) == set(ents["id"].astype(str))
+    assert (nodes[":LABEL"] == "Entity").all()
+
+    rh = open(tmp_path / "neo4j" / "relationships.header.csv").read().strip()
+    assert rh == ":START_ID,:END_ID,:TYPE"
+    rel_parts = sorted(glob.glob(os.path.join(paths["relationships"], "*")))
+    rels = pd.concat([pd.read_csv(p, header=None, names=rh.split(","))
+                      for p in rel_parts], ignore_index=True)
+    edges = out["edges"].to_pandas()
+    assert len(rels) == len(edges)
+    node_ids = set(nodes["id:ID"].astype(str))
+    assert set(rels[":START_ID"].astype(str)) <= node_ids
+    assert set(rels[":END_ID"].astype(str)) <= node_ids
+    assert os.path.exists(tmp_path / "neo4j" / "IMPORT.txt")
