@@ -285,3 +285,46 @@ def test_prefix_jaccard_no_pairs(ray_session):
     got = prefix_jaccard_pairs(rd.from_items(rows), "doc_id", "text",
                                threshold=0.9, n=1).to_pandas()
     assert len(got) == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_jaccard_property(ray_session, seed, threshold):
+    """Property: for random corpora and thresholds, prefix filtering
+    returns EXACTLY the brute-force answer (guards the prefix-length
+    formula |s| - ceil(t*|s|) + 1 across set sizes and tie shapes)."""
+    import numpy as np
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import prefix_jaccard_pairs
+    from entitydisambiguation_ray.stages.dedup import jaccard, word_ngrams
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        k = int(rng.integers(3, 14))
+        words = rng.choice(vocab, size=k, replace=True)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    got = (prefix_jaccard_pairs(rd.from_items(rows), "doc_id", "text",
+                                threshold=threshold, n=1)
+           .to_pandas())
+    got_set = (set() if "id_a" not in got.columns else
+               {(a, b, round(j, 9))
+                for a, b, j in zip(got["id_a"], got["id_b"],
+                                   got["jaccard"])})
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ja = jaccard(word_ngrams(rows[i]["text"], 1),
+                         word_ngrams(rows[j]["text"], 1))
+            if ja >= threshold:
+                want.add((i, j, round(ja, 9)))
+    assert got_set == want
