@@ -255,39 +255,21 @@ def nearest_centroid_accuracy(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["label", "embedding"])
 
-    def cent_partial(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        flat = pc.list_flatten(batch.column("embedding")) \
-            .to_numpy(zero_copy_only=False).astype("float64")
-        d = len(flat) // max(n, 1)
-        m = flat.reshape(n, d)
-        labels = batch.column("label").to_numpy(zero_copy_only=False)
-        keys, sums, cnts = [], [], []
-        for lab in np.unique(labels):
-            rows = m[labels == lab]
-            keys.append(int(lab) * 4096 + np.arange(d, dtype="int64"))
-            sums.append(rows.sum(axis=0))
-            cnts.append(np.full(d, rows.shape[0], dtype="int64"))
-        if not keys:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.float64()),
-                             "cnt": pa.array([], pa.int64())})
-        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
-                         "s": pa.array(np.concatenate(sums), pa.float64()),
-                         "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+    from .relational import CENTROID_DIM_STRIDE, centroid_sum_partial
 
-    agg = (ds.map_batches(cent_partial, batch_format="pyarrow",
+    agg = (ds.map_batches(centroid_sum_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby("key").aggregate(Sum("s", alias_name="s"),
                                      Sum("cnt", alias_name="cnt"))
            .to_pandas())
     key = agg["key"].to_numpy(dtype="int64")
-    labs = np.unique(key // 4096)
-    d = int((key % 4096).max()) + 1
+    labs = np.unique(key // CENTROID_DIM_STRIDE)
+    d = int((key % CENTROID_DIM_STRIDE).max()) + 1
     cent = np.zeros((len(labs), d))
     lab_pos = {int(l): i for i, l in enumerate(labs)}
     for k, s, c in zip(key, agg["s"], agg["cnt"]):
-        cent[lab_pos[int(k // 4096)], int(k % 4096)] = s / c
+        cent[lab_pos[int(k // CENTROID_DIM_STRIDE)],
+             int(k % CENTROID_DIM_STRIDE)] = s / c
     cent_ref = ray.put((cent, labs.astype("int64")))
 
     class Assign:
@@ -297,6 +279,10 @@ def nearest_centroid_accuracy(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            if n == 0:  # empty block: matmul on (0,0) would raise
+                return pa.table({"label": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "n_correct": pa.array([], pa.int64())})
             flat = pc.list_flatten(batch.column("embedding")) \
                 .to_numpy(zero_copy_only=False).astype("float64")
             m = flat.reshape(n, len(flat) // max(n, 1))

@@ -675,6 +675,11 @@ def prefix_jaccard_pairs(
         ids, toks, sizes = [], [], []
         for did, t in zip(batch.column(id_col).to_pylist(),
                           batch.column(text_col).to_pylist()):
+            if not t.split():
+                # token-free docs emit nothing: the SQL oracle's jaccard
+                # is 0/0 = NULL for them (word_ngrams would return the
+                # degenerate {()} and pair every empty doc at 1.0)
+                continue
             s = word_ngrams(t, n)
             for sh in s:
                 ids.append(did)
@@ -697,8 +702,14 @@ def prefix_jaccard_pairs(
 
     def keep_prefix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc", "df", "tok"], kind="mergesort")
-        plen = (df["size"].to_numpy()
-                - np.ceil(threshold * df["size"].to_numpy()) + 1)
+        # EXACT ceiling of t·|s|: bare np.ceil(t*s) overshoots whenever
+        # the float product lands epsilon above the true integer (e.g.
+        # 0.55*100 = 55.000000000000007 → ceil 56), silently shortening
+        # the prefix and dropping qualifying pairs.  Nudging down by 1e-9
+        # can only LENGTHEN a prefix (conservative: extra candidates are
+        # discarded by the exact verify, never missed).
+        sizes = df["size"].to_numpy()
+        plen = sizes - np.ceil(threshold * sizes - 1e-9) + 1
         pos = df.groupby("doc").cumcount().to_numpy()
         return df.loc[pos < plen, ["doc", "tok"]]
 
@@ -716,9 +727,9 @@ def prefix_jaccard_pairs(
                 dropped_pairs += len(ids) * (len(ids) - 1) // 2
                 dropped_buckets += 1
                 continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            parts_a.append(ids[ia])
-            parts_b.append(ids[ib])
+            a, b = _emit_bucket_pairs(ids)
+            parts_a.append(a)
+            parts_b.append(b)
         if dropped_buckets:
             import logging
             logging.getLogger(__name__).warning(
@@ -729,8 +740,13 @@ def prefix_jaccard_pairs(
         if not parts_a:
             return pd.DataFrame({"id_a": df["doc"].iloc[0:0],
                                  "id_b": df["doc"].iloc[0:0]})
+        # local combiner: near-dup docs share most prefix tokens, so the
+        # same pair recurs once per shared token in this partition —
+        # dedupe before the verify shuffle (minhash buckets_to_pairs
+        # applies the same discipline)
         return pd.DataFrame({"id_a": np.concatenate(parts_a),
-                             "id_b": np.concatenate(parts_b)})
+                             "id_b": np.concatenate(parts_b)}) \
+            .drop_duplicates(ignore_index=True)
 
     cand = partitioned_groupby(prefixes, "tok", bucket_pairs,
                                nparts=nparts)

@@ -2310,6 +2310,41 @@ GROUP BY 1, 2 ORDER BY type_from, type_to
 
 # --------------------------------------------------------------- per-label embedding centroid
 
+CENTROID_DIM_STRIDE = 4096  # packed key = label·stride + dim
+
+
+def centroid_sum_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch centroid combiner shared by ``centroid_by_label`` and
+    ``ann.nearest_centroid_accuracy``: float64 per-label sum-vector +
+    count, the (label, dim) pair packed into one int64 key.  Empty-batch
+    safe; raises loudly if dims outgrow the packing stride (silent key
+    collisions would merge unrelated cells)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.float64()),
+                         "cnt": pa.array([], pa.int64())})
+    flat = pc.list_flatten(batch.column("embedding")) \
+        .to_numpy(zero_copy_only=False).astype("float64")
+    d = len(flat) // n
+    if d > CENTROID_DIM_STRIDE:
+        raise ValueError(f"embedding dim {d} exceeds the packed-key "
+                         f"stride {CENTROID_DIM_STRIDE}; widen "
+                         "CENTROID_DIM_STRIDE")
+    m = flat.reshape(n, d)
+    labels = batch.column("label").to_numpy(zero_copy_only=False)
+    keys, sums, cnts = [], [], []
+    for lab in np.unique(labels):
+        rows = m[labels == lab]
+        keys.append(int(lab) * CENTROID_DIM_STRIDE
+                    + np.arange(d, dtype="int64"))
+        sums.append(rows.sum(axis=0))
+        cnts.append(np.full(d, rows.shape[0], dtype="int64"))
+    return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                     "s": pa.array(np.concatenate(sums), pa.float64()),
+                     "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+
+
 def centroid_by_label(sf_dir: str):
     """Per-label embedding centroid (the class-centroid primitive behind
     nearest-centroid classification, IVF coarse quantizers and cluster
@@ -2324,37 +2359,15 @@ def centroid_by_label(sf_dir: str):
 
     ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.float64()),
-                             "cnt": pa.array([], pa.int64())})
-        flat = pc.list_flatten(batch.column("embedding")) \
-            .to_numpy(zero_copy_only=False).astype("float64")
-        d = len(flat) // n
-        m = flat.reshape(n, d)
-        labels = batch.column("label").to_numpy(zero_copy_only=False)
-        keys, sums, cnts = [], [], []
-        for lab in np.unique(labels):
-            rows = m[labels == lab]
-            s = rows.sum(axis=0)
-            keys.append(int(lab) * 4096 + np.arange(d, dtype="int64"))
-            sums.append(s)
-            cnts.append(np.full(d, rows.shape[0], dtype="int64"))
-        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
-                         "s": pa.array(np.concatenate(sums), pa.float64()),
-                         "cnt": pa.array(np.concatenate(cnts), pa.int64())})
-
-    agg = (ds.map_batches(partial, batch_format="pyarrow",
+    agg = (ds.map_batches(centroid_sum_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby("key").aggregate(Sum("s", alias_name="s"),
                                      Sum("cnt", alias_name="cnt"))
            .to_pandas())
     key = agg["key"].to_numpy(dtype="int64")
     out = pd.DataFrame({
-        "label": key // 4096,
-        "dim": key % 4096,
+        "label": key // CENTROID_DIM_STRIDE,
+        "dim": key % CENTROID_DIM_STRIDE,
         "centroid": _round_half_away(
             (agg["s"] / agg["cnt"]).to_numpy(), 6)})
     out["label"] = out["label"].astype("int64")

@@ -454,8 +454,15 @@ def test_nearest_centroid_matches_numpy(ray_session):
     # break identically
     dist = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
     assigned = labs[np.argmin(dist, axis=1)]
+    # engine centroids come from block-order-dependent float sums, the
+    # oracle's from numpy mean — near-argmin ties can legitimately flip;
+    # allow discrepancy only up to each label's count of near-tie vectors
+    srt = np.sort(dist, axis=1)
+    margin = srt[:, 1] - srt[:, 0]
     for _, row in got.iterrows():
         mask = labels == row["label"]
         assert row["n"] == int(mask.sum())
-        assert row["n_correct"] == int((assigned[mask] == row["label"]).sum())
+        exact = int((assigned[mask] == row["label"]).sum())
+        slack = int((margin[mask] < 1e-9).sum())
+        assert abs(row["n_correct"] - exact) <= slack
     assert got["n"].sum() == len(labels)

@@ -328,3 +328,21 @@ def test_prefix_jaccard_property(ray_session, seed, threshold):
             if ja >= threshold:
                 want.add((i, j, round(ja, 9)))
     assert got_set == want
+
+
+def test_prefix_jaccard_ceil_boundary(ray_session):
+    """Regression: float ceil overshoot (0.55*100 = 55.000000000000007 →
+    ceil 56) used to shorten doc a's prefix by one token and miss this
+    exactly-at-threshold pair."""
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    a_toks = [f"w{i}" for i in range(100)]
+    b_toks = a_toks[45:]  # |a ∩ b| = 55, |a ∪ b| = 100 → J = 0.55 exactly
+    rows = [{"doc_id": 1, "text": " ".join(a_toks)},
+            {"doc_id": 2, "text": " ".join(b_toks)}]
+    got = prefix_jaccard_pairs(rd.from_items(rows), "doc_id", "text",
+                               threshold=0.55, n=1).to_pandas()
+    assert len(got) == 1
+    assert got["jaccard"].iloc[0] == 0.55
