@@ -270,6 +270,25 @@ def _q_nearest_centroid(sf_dir: str):
     return nearest_centroid_accuracy(sf_dir)
 
 
+
+def _q_cm_token_freq(sf_dir: str):
+    """Count-Min frequency estimates for the exact token_freq top tokens
+    (rows-only: sketch overestimate bounds pytest-asserted in
+    tests/test_dedup_ann.py)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.relational import token_freq
+    from entitydisambiguation_ray.stages.sketches import cm_token_freq
+
+    top = token_freq(sf_dir)
+    queries = top["tok"].head(10).tolist() if "tok" in top.columns else \
+        top.iloc[:10, 0].tolist()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return cm_token_freq(ds, "text", queries=queries)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     from entitydisambiguation_ray.pipelines.graph import copurchase_pairs
     return copurchase_pairs(sf_dir)
@@ -825,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,        # rows-only (chained KB)
         "approx_quantiles": _q_approx_quantiles,    # rows-only (KLL sketch)
         "heavy_hitters": _q_heavy_hitters,          # rows-only (MG sketch)
+        "cm_token_freq": _q_cm_token_freq,          # rows-only (CM sketch)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,

@@ -376,3 +376,84 @@ def heavy_hitters_sketch(ds, column: str, k: int = 50):
         acc.merge(MisraGries.deserialize(b, k))
     rows = acc.estimates()
     return pd.DataFrame(rows, columns=["value", "count", "err"])
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    d×w counter matrix; est(x) = min_j M[j, h_j(x)] overestimates the
+    true count by at most ε·N with probability ≥ 1-δ, where ε = e/w and
+    δ = e^-d.  Counter-wise ADDITION merges sketches exactly (the
+    combiner property the per-batch stage needs).  Row hashes are d
+    independent splitmix64 streams over crc32 (the HLL discipline —
+    never concatenate two affinely-related crc32s)."""
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        self.w = w
+        self.d = d
+        self.m = np.zeros((d, w), dtype=np.int64)
+
+    def _cols(self, value: str) -> np.ndarray:
+        h = zlib.crc32(value.encode("utf-8"))
+        return np.array([splitmix64(h ^ (j * 0x9E3779B97F4A7C15))
+                         % self.w for j in range(self.d)], dtype=np.int64)
+
+    def add_counts(self, values, counts) -> "CountMin":
+        for v, c in zip(values, counts):
+            self.m[np.arange(self.d), self._cols(str(v))] += int(c)
+        return self
+
+    def estimate(self, value: str) -> int:
+        return int(self.m[np.arange(self.d), self._cols(str(value))].min())
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.m += other.m
+        return self
+
+    def serialize(self) -> bytes:
+        return self.m.tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes, w: int = 2048, d: int = 4) -> "CountMin":
+        s = cls(w, d)
+        s.m = np.frombuffer(b, dtype=np.int64).reshape(d, w).copy()
+        return s
+
+
+def cm_token_freq(ds, text_col: str = "text", w: int = 2048, d: int = 4,
+                  queries: list[str] | None = None):
+    """Distributed Count-Min frequency estimates for ``queries`` tokens
+    over a text column: one CM table per batch (the additive combiner,
+    serialized like the HLL / Bloom / MG stages), summed on the driver
+    (d×w ints per batch — fixed-size payloads regardless of corpus).
+    The exact counterpart is ``relational.token_freq``; this is the
+    scale path when per-partition distinct-token sets outgrow heaps.
+    Returns (token, est, n_total) — est ≥ true count, and
+    est ≤ true + (e/w)·N with prob ≥ 1-e^-d."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    tok_re = re.compile(r"\S+")
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(tok_re.findall(t))
+        cm = CountMin(w, d).add_counts(list(c.keys()), list(c.values()))
+        return pa.table({
+            "sketch": pa.array([cm.serialize()], pa.binary()),
+            "n": pa.array([int(sum(c.values()))], pa.int64())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = CountMin(w, d)
+    for b in parts["sketch"]:
+        acc.merge(CountMin.deserialize(b, w, d))
+    n_total = int(parts["n"].sum())
+    qs = queries or []
+    return pd.DataFrame({
+        "token": qs,
+        "est": [acc.estimate(q) for q in qs],
+        "n_total": [n_total] * len(qs)})

@@ -466,3 +466,47 @@ def test_nearest_centroid_matches_numpy(ray_session):
         slack = int((margin[mask] < 1e-9).sum())
         assert abs(row["n_correct"] - exact) <= slack
     assert got["n"].sum() == len(labels)
+
+
+def test_countmin_bounds_vs_exact(ray_session):
+    """CM guarantee on real data: est >= true count for every queried
+    token, and est <= true + eps*N for the documents corpus (w=2048 is
+    far wider than the 31-token vocabulary, so estimates are near-exact
+    here; the overestimate bound is what the sketch contracts)."""
+    import ray.data as rd
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from entitydisambiguation_ray.stages.sketches import cm_token_freq
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    exact: Counter = Counter()
+    for t in texts:
+        exact.update(t.split())
+    queries = sorted(exact)[:10] + ["never-seen-token"]
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    got = cm_token_freq(ds, "text", queries=queries)
+    n = int(sum(exact.values()))
+    assert (got["n_total"] == n).all()
+    import math
+    eps_n = math.e / 2048 * n
+    for _, row in got.iterrows():
+        true = exact.get(row["token"], 0)
+        assert row["est"] >= true                 # never underestimates
+        assert row["est"] <= true + eps_n + 1e-9  # CM overestimate bound
+
+
+def test_countmin_merge_is_additive(ray_session):
+    """Merging two CM sketches == sketching the concatenation (the
+    combiner property the distributed stage relies on)."""
+    from entitydisambiguation_ray.stages.sketches import CountMin
+
+    a = CountMin(64, 3).add_counts(["x", "y"], [5, 2])
+    b = CountMin(64, 3).add_counts(["x", "z"], [1, 7])
+    both = CountMin(64, 3).add_counts(["x", "y", "z"], [6, 2, 7])
+    a.merge(b)
+    assert (a.m == both.m).all()
+    assert a.estimate("x") == both.estimate("x") >= 6
