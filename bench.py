@@ -47,8 +47,19 @@ def run_bench() -> dict:
     n_pages = int(os.environ.get(
         "GRAFT_BENCH_PAGES",
         {"sf0.001": 500, "sf0.01": 2000}.get(sf, 20000)))
+    # Median-of-R measurement: the shared sandbox host shows ±30-50%
+    # throughput swings on identical code (BASELINE.md band markers), and
+    # the driver measures once per round — a single sample landing in a
+    # degraded window reads as a regression that isn't there (round 3's
+    # 9.52 s vs the same code's quiet 4.74-4.91 s).  Each query runs R
+    # times; the median is the number of record, raw runs are kept in the
+    # JSON.  Scaling legs (400k pages) override to 1 repeat — the paired
+    # back-to-back legs already cancel common-mode noise in the ratio.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
     queries: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    queries_min: dict[str, float] = {}
 
     # ---- warmup: spawn workers + import the package on every worker so
     # the timed run measures steady-state throughput, not process spawn.
@@ -58,40 +69,64 @@ def run_bench() -> dict:
         max(2000, num_cpus * 100), seed=1,
         override_num_blocks=num_cpus * 4), cfg=cfg)
 
+    import statistics
+
+    def timed(name: str, fn) -> object:
+        res = None
+        samples = []
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            res = fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[name] = samples
+        queries[name] = round(statistics.median(samples), 3)
+        queries_min[name] = min(samples)
+        return res
+
     # ---- headline: KG construction over n_pages synthetic pages --------
-    t0 = time.perf_counter()
-    pages = synth_pages_dataset(n_pages, seed=42)
-    out = run_kg_pipeline(pages, cfg=cfg)
-    n_edges = out["edges"].count()
-    n_triples = out["triples"].count()
-    headline = time.perf_counter() - t0
-    queries["kg_pipeline"] = round(headline, 3)
+    n_counts = {}
+
+    def kg_once():
+        pages = synth_pages_dataset(n_pages, seed=42)
+        out = run_kg_pipeline(pages, cfg=cfg)
+        n_counts["edges"] = out["edges"].count()
+        n_counts["triples"] = out["triples"].count()
+
+    timed("kg_pipeline", kg_once)
 
     # ---- operator queries over the sf tables ---------------------------
     if not os.environ.get("GRAFT_BENCH_ONLY_KG"):
         import __ray_entry__ as entrymod
 
         qs = entrymod.queries()
+
+        def run_q(name):
+            def once():
+                res = qs[name](sf_dir)
+                if hasattr(res, "count"):
+                    res.count()
+            return once
+
         for name in ("pricing_summary", "shuffle_join_agg", "exact_dedup",
                      "minhash_pairs", "ann_topk", "token_count"):
-            t0 = time.perf_counter()
-            res = qs[name](sf_dir)
-            if hasattr(res, "count"):
-                res.count()
-            queries[name] = round(time.perf_counter() - t0, 3)
+            timed(name, run_q(name))
 
     result = {
         "metric": "kg_construction_wall_time",
         "value": queries["kg_pipeline"],
         "unit": "sec",
         "queries": queries,
+        "queries_min": queries_min,
+        "queries_runs": runs,
+        "repeats": max(1, repeats),
         "sf": sf,
         "num_cpus": num_cpus,
         "pages": n_pages,
-        "edges": n_edges,
-        "triples": n_triples,
+        "edges": n_counts["edges"],
+        "triples": n_counts["triples"],
         "pages_per_s": round(n_pages / queries["kg_pipeline"], 1),
-        "triples_per_s": round(n_triples / queries["kg_pipeline"], 1),
+        "triples_per_s": round(n_counts["triples"] / queries["kg_pipeline"],
+                               1),
     }
     ray.shutdown()
     return result
@@ -126,6 +161,7 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ONLY_KG="1",
+                   GRAFT_BENCH_REPEATS="1",
                    GRAFT_BENCH_PAGES=scaling_pages)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,

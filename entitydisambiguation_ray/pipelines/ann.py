@@ -52,40 +52,66 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _fetch_bcast(ref):
+    """Fetch a ``ray.put`` broadcast once per worker process, memoized by
+    object-ref id (the warm-task pattern: no actor pool is spawned per run,
+    and repeat runs over the same ref pay zero re-fetch)."""
+    key = ref.hex()
+    v = _BCAST_CACHE.get(key)
+    if v is None:
+        _BCAST_CACHE.clear()  # previous runs' broadcasts are dead
+        v = ray.get(ref)
+        _BCAST_CACHE[key] = v
+    return v
+
+
+def _topk_partial(batch: pa.Table, *, ref, id_col: str, vec_col: str,
+                  k: int) -> pa.Table:
+    """Per-batch partial top-k as a STATELESS task over warm workers.
+
+    Round-3 profile showed ``ActorPoolMapOperator[MapBatches(PartialTopK)]``
+    spawning a fresh actor pool per query run — per-run actor spawn cost on
+    a 3-query workload.  The combiner holds no mutable state, so it runs as
+    plain tasks with the normalized query matrix broadcast via ``ray.put``
+    and memoized per worker (the ``_kmeans_partial`` pattern)."""
+    q = _fetch_bcast(ref)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _normalize(_as_matrix(batch.column(vec_col)))
+    cos = mat @ q.T  # (n, nq)
+    nq = q.shape[0]
+    kk = min(k, len(ids))
+    if kk < len(ids):
+        # one vectorized partial top-k across ALL queries at once
+        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, nq)
+    else:
+        top = np.tile(np.arange(len(ids))[:, None], (1, nq))
+    qi = np.repeat(np.arange(nq, dtype=np.int32), top.shape[0])
+    rows = top.T.ravel()
+    return pa.table({
+        "query_idx": pa.array(qi, pa.int32()),
+        id_col: pa.array(ids[rows]),
+        "cosine": pa.array(cos[rows, qi], pa.float64()),
+    })
+
+
 def brute_force_topk(
     ds: rd.Dataset, id_col: str, vec_col: str,
     queries: np.ndarray, k: int = 10,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row → DataFrame
     (query_idx, id, cosine, rank).  Ties broken by ascending id."""
+    import functools
+
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist())
-            mat = _normalize(_as_matrix(batch.column(vec_col)))
-            cos = mat @ self.q.T  # (n, nq)
-            nq = self.q.shape[0]
-            kk = min(k, len(ids))
-            if kk < len(ids):
-                # one vectorized partial top-k across ALL queries at once
-                top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, nq)
-            else:
-                top = np.tile(np.arange(len(ids))[:, None], (1, nq))
-            qi = np.repeat(np.arange(nq, dtype=np.int32), top.shape[0])
-            rows = top.T.ravel()
-            return pa.table({
-                "query_idx": pa.array(qi, pa.int32()),
-                id_col: pa.array(ids[rows]),
-                "cosine": pa.array(cos[rows, qi], pa.float64()),
-            })
-
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                              concurrency=(1, 4)).to_pandas()
+    partials = ds.map_batches(
+        functools.partial(_topk_partial, ref=q_ref, id_col=id_col,
+                          vec_col=vec_col, k=k),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = []
     for qi, g in partials.groupby("query_idx"):
         g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
@@ -135,9 +161,6 @@ def lsh_topk(
     return brute_force_topk(filtered, id_col, vec_col, qm, k=k)
 
 
-_KMEANS_CACHE: dict[str, np.ndarray] = {}
-
-
 def _kmeans_partial(batch: pa.Table, *, ref, vec_col: str) -> pa.Table:
     """Per-batch Lloyd combiner as a STATELESS task over warm workers: the
     per-iteration centroid matrix ships once via ``ray.put`` and is fetched
@@ -145,12 +168,7 @@ def _kmeans_partial(batch: pa.Table, *, ref, vec_col: str) -> pa.Table:
     actor pool is spawned per iteration (a fresh pool per Lloyd round paid
     actor spawn × iters; warm tasks reuse the already-imported workers, the
     same pattern as kg.rewrite_edges_batch)."""
-    key = ref.hex()
-    c = _KMEANS_CACHE.get(key)
-    if c is None:
-        _KMEANS_CACHE.clear()  # previous iterations' centroids are dead
-        c = ray.get(ref)
-        _KMEANS_CACHE[key] = c
+    c = _fetch_bcast(ref)
     mat = _normalize(_as_matrix(batch.column(vec_col)))
     cid = np.argmax(mat @ c.T, axis=1)
     sums = np.zeros_like(c)
