@@ -169,6 +169,172 @@ def bge_prefilter_floor(cfg: EngineConfig = DEFAULT_CONFIG) -> float:
     return (cfg.high_threshold / max_type_multiplier(cfg) - rest) / cfg.bge_weight
 
 
+class MentionPre:
+    """Precomputed string forms for one side of the pair-scoring cascade:
+    token-sorted name/aliases (the expensive re-sort inside every
+    ``token_sort_ratio`` call, hoisted out) and the rerank-text token set
+    (the ``hash_ce_raw`` split, hoisted out).  Built once per mention per
+    batch; the KB side is built once per actor (KnowledgeBase.__init__)."""
+
+    __slots__ = ("name", "aliases", "name_sorted", "aliases_sorted",
+                 "rr_tokens", "type")
+
+    def __init__(self, name: str, aliases: Sequence[str], mtype,
+                 rerank: str):
+        from .strings import token_sort
+
+        self.name = name
+        self.aliases = list(aliases)
+        self.name_sorted = token_sort(name)
+        self.aliases_sorted = [token_sort(a) for a in self.aliases]
+        self.rr_tokens = frozenset(rerank.split())
+        self.type = mtype
+
+
+class PairKernel:
+    """Exact-semantics cached pair scorer for the decisions hot loop.
+
+    Semantics are IDENTICAL to ``comprehensive_score`` (equivalence-tested
+    in tests/test_scoring.py) for reranker modes ``hash_ce`` / ``none``;
+    the speed comes from three exact transformations:
+
+    - precomputed token-sorted strings + rerank token sets (MentionPre),
+      so no per-pair ``str.split``/``sorted`` work;
+    - memoized unique string-pair kernels (ratio / levenshtein_norm) with
+      equality short-circuits — candidate names repeat across mentions, so
+      the same (a, b) pair is computed once per actor, not once per pair;
+    - the caches are bounded (cleared past ``_CACHE_MAX`` entries) so a
+      long-lived actor streaming 10^9 mentions cannot grow without bound.
+
+    ``score_bound`` gives an upper bound on ``final_score`` given only the
+    cheap components (bge + ce + type multiplier; fuzz, lev ≤ 1 by
+    construction) — callers that only need the ARGMAX candidate
+    (decide-one semantics, disambiguation.py:137-154 keeps only the best)
+    can skip the string cascade for candidates whose bound cannot beat the
+    running best.  Exactness argument: ``bound ≥ final`` always, and the
+    reference keeps the FIRST candidate on final-score ties (strict ``>``),
+    so any candidate with ``bound <= best`` can never replace the best.
+    """
+
+    _CACHE_MAX = 200_000
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
+        if cfg.reranker == "cross_encoder":
+            raise ValueError(
+                "PairKernel is the deterministic fast path; "
+                "reranker='cross_encoder' must score via comprehensive_score")
+        self.cfg = cfg
+        self._ratio_cache: dict[tuple[str, str], float] = {}
+        self._lev_cache: dict[tuple[str, str], float] = {}
+
+    # -- cached kernels ---------------------------------------------------
+    def _ratio(self, a_sorted: str, b_sorted: str) -> float:
+        """token_sort_ratio/100 over PRE-SORTED token strings."""
+        if a_sorted == b_sorted:
+            return 1.0  # ratio of equal strings is 100 (incl. both empty)
+        key = (a_sorted, b_sorted)
+        v = self._ratio_cache.get(key)
+        if v is None:
+            from .strings import ratio
+
+            v = ratio(a_sorted, b_sorted) / 100.0
+            if len(self._ratio_cache) > self._CACHE_MAX:
+                self._ratio_cache.clear()
+            self._ratio_cache[key] = v
+        return v
+
+    def _lev(self, a: str, b: str) -> float:
+        if a == b:
+            # levenshtein_norm(x, x) = 1.0 except BOTH-empty → 0.0
+            return 1.0 if a else 0.0
+        key = (a, b)
+        v = self._lev_cache.get(key)
+        if v is None:
+            from .strings import levenshtein_norm
+
+            v = levenshtein_norm(a, b)
+            if len(self._lev_cache) > self._CACHE_MAX:
+                self._lev_cache.clear()
+            self._lev_cache[key] = v
+        return v
+
+    # -- per-component scores (reference max-over-pairs structure) -------
+    def ce(self, a: MentionPre, b: MentionPre) -> float:
+        """hash_ce: normalize(hash_ce_raw) over precomputed token sets —
+        bit-identical to the string path (same float expression)."""
+        cfg = self.cfg
+        if cfg.reranker != "hash_ce":
+            return 0.0  # reranker="none": reference degradation, ce = 0.0
+        union = len(a.rr_tokens | b.rr_tokens)
+        jac = (len(a.rr_tokens & b.rr_tokens) / union) if union else 0.0
+        raw = cfg.ce_norm_min + jac * (cfg.ce_norm_max - cfg.ce_norm_min)
+        return normalize_crossencoder_score(raw, cfg)
+
+    def fuzz(self, a: MentionPre, b: MentionPre) -> float:
+        best = self._ratio(a.name_sorted, b.name_sorted)
+        for ia in a.aliases_sorted:
+            for cb in b.aliases_sorted:
+                s = self._ratio(ia, cb)
+                if s > best:
+                    best = s
+        for ia in a.aliases_sorted:
+            s = self._ratio(ia, b.name_sorted)
+            if s > best:
+                best = s
+        for cb in b.aliases_sorted:
+            s = self._ratio(a.name_sorted, cb)
+            if s > best:
+                best = s
+        return best
+
+    def lev(self, a: MentionPre, b: MentionPre) -> float:
+        best = self._lev(a.name, b.name)
+        for ia in a.aliases:
+            for cb in b.aliases:
+                s = self._lev(ia, cb)
+                if s > best:
+                    best = s
+        for ia in a.aliases:
+            s = self._lev(ia, b.name)
+            if s > best:
+                best = s
+        for cb in b.aliases:
+            s = self._lev(a.name, cb)
+            if s > best:
+                best = s
+        return best
+
+    # -- fused pair score -------------------------------------------------
+    def score_bound(self, bge: float, ce_score: float, mult: float) -> float:
+        """Upper bound on final_score: fuzz ≤ 1, lev ≤ 1."""
+        cfg = self.cfg
+        return (bge * cfg.bge_weight + ce_score * cfg.cross_encoder_weight
+                + cfg.fuzz_weight + cfg.levenshtein_weight) * mult
+
+    def score(self, a: MentionPre, b: MentionPre, bge: float,
+              ce_score: float | None = None,
+              mult: float | None = None) -> PairScore:
+        """= comprehensive_score for hash_ce/none modes (no exception path
+        is reachable: every kernel here is pure string/set arithmetic; the
+        reference's try/except guards the CE MODEL predict call, which this
+        path never makes)."""
+        cfg = self.cfg
+        if ce_score is None:
+            ce_score = self.ce(a, b)
+        if mult is None:
+            mult = type_multiplier(a.type, b.type, cfg)
+        s = PairScore(bge_score=bge, cross_encoder_score=ce_score)
+        s.fuzz_score = self.fuzz(a, b)
+        s.levenshtein_score = self.lev(a, b)
+        s.final_score = (
+            s.bge_score * cfg.bge_weight
+            + s.cross_encoder_score * cfg.cross_encoder_weight
+            + s.fuzz_score * cfg.fuzz_weight
+            + s.levenshtein_score * cfg.levenshtein_weight
+        ) * mult
+        return s
+
+
 def make_decision(
     final_score: float,
     force_decision: bool = False,

@@ -35,9 +35,12 @@ from ..functions.hashing import generate_entity_id
 from ..functions.scoring import (
     CREATE,
     MERGE,
+    MentionPre,
+    PairKernel,
     comprehensive_score,
     decision_reasoning,
     make_decision,
+    type_multiplier,
 )
 from ..functions.textbuild import embed_text, rerank_text
 from ..sources.seed import kb_entities
@@ -120,6 +123,10 @@ class KnowledgeBase:
                 }
             row["rerank_text"] = rerank_text(row["name"], row["aliases"],
                                              row.get("definition"))
+            # precomputed string forms for the PairKernel hot path (sorted
+            # tokens + rerank token set), built ONCE per actor per KB row
+            row["_pre"] = MentionPre(row["name"], row["aliases"],
+                                     row["type"], row["rerank_text"])
             if matrix is None:
                 texts.append(embed_text(row["name"], row["aliases"],
                                         row.get("definition"),
@@ -193,8 +200,13 @@ class Disambiguator:
         self.cfg = cfg
         self.kb = KnowledgeBase(entities=entities, cfg=cfg)
         self.encoder = self.kb.encoder
+        # deterministic fast path (cached kernels + exact bound pruning);
+        # the real-CE mode must call the model per pair → comprehensive_score
+        self.kernel = (None if cfg.reranker == "cross_encoder"
+                       else PairKernel(cfg))
 
-    def decide_one(self, name, mtype, aliases, rtext, vec, ips=None):
+    def decide_one(self, name, mtype, aliases, rtext, vec, ips=None,
+                   pre: MentionPre | None = None):
         cands = self.kb.candidates(vec, mtype, self.cfg.faiss_top_k, ips=ips)
         if not cands:
             # disambiguation.py:126-135 — empty → create, confidence 1.0
@@ -203,15 +215,38 @@ class Disambiguator:
                     generate_entity_id(name, mtype))
         best = None
         best_row = None
-        for i, bge in cands:
-            row = self.kb.rows[i]
-            s = comprehensive_score(
-                name, aliases, mtype, rtext,
-                row["name"], row["aliases"], row["type"], row["rerank_text"],
-                bge, self.cfg,
-            )
-            if best is None or s.final_score > best.final_score:
-                best, best_row = s, row
+        if self.kernel is not None:
+            # argmax-only semantics (disambiguation.py:137-154 keeps only
+            # the best candidate): candidates whose final-score upper bound
+            # (fuzz, lev <= 1) cannot strictly beat the running best are
+            # skipped — exact, incl. the reference's keep-first tie rule,
+            # because bound <= best implies final <= best (strict > never
+            # fires).  Iteration order is unchanged.
+            k = self.kernel
+            if pre is None:
+                pre = MentionPre(name, aliases, mtype, rtext)
+            for i, bge in cands:
+                row = self.kb.rows[i]
+                bpre = row["_pre"]
+                ce = k.ce(pre, bpre)
+                mult = type_multiplier(mtype, row["type"], self.cfg)
+                if (best is not None
+                        and k.score_bound(bge, ce, mult)
+                        <= best.final_score):
+                    continue
+                s = k.score(pre, bpre, bge, ce_score=ce, mult=mult)
+                if best is None or s.final_score > best.final_score:
+                    best, best_row = s, row
+        else:
+            for i, bge in cands:
+                row = self.kb.rows[i]
+                s = comprehensive_score(
+                    name, aliases, mtype, rtext,
+                    row["name"], row["aliases"], row["type"],
+                    row["rerank_text"], bge, self.cfg,
+                )
+                if best is None or s.final_score > best.final_score:
+                    best, best_row = s, row
         decision = make_decision(best.final_score, cfg=self.cfg)
         match_id = best_row["id"] if decision == MERGE else None
         match_name = best_row["name"] if decision == MERGE else None

@@ -166,3 +166,120 @@ def test_bge_encoder_gated_on_missing_dependency():
         make_encoder("bge")  # FlagEmbedding absent in this environment
     with pytest.raises(ValueError):
         make_encoder("nonsense")
+
+
+# ---------------------------------------------------------------------------
+# PairKernel (the cached + bound-pruned decisions fast path) must be
+# bit-identical to comprehensive_score for the deterministic reranker modes.
+# ---------------------------------------------------------------------------
+def _rand_entity(rng):
+    words = ["alpha", "beta", "gamma", "delta", "血红蛋白", "心脏", "x1", "q"]
+    name = " ".join(rng.choice(words, size=rng.integers(1, 4)).tolist())
+    aliases = [" ".join(rng.choice(words, size=rng.integers(1, 3)).tolist())
+               for _ in range(rng.integers(0, 3))]
+    mtype = ["疾病", "药物", "检查", "", None][rng.integers(0, 5)] or None
+    definition = " ".join(rng.choice(words, size=rng.integers(0, 6)).tolist())
+    return name, aliases, mtype, definition
+
+
+@pytest.mark.parametrize("reranker", ["hash_ce", "none"])
+def test_pairkernel_matches_comprehensive_score(reranker):
+    from entitydisambiguation_ray.functions.scoring import (
+        MentionPre,
+        PairKernel,
+    )
+
+    cfg = EngineConfig(reranker=reranker)
+    k = PairKernel(cfg)
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        na, aa, ta, da = _rand_entity(rng)
+        nb, ab, tb, db = _rand_entity(rng)
+        ra, rb = rerank_text(na, aa, da), rerank_text(nb, ab, db)
+        bge = float(rng.uniform(-0.2, 1.0))
+        ref = comprehensive_score(na, aa, ta, ra, nb, ab, tb, rb, bge, cfg)
+        pa_, pb_ = MentionPre(na, aa, ta, ra), MentionPre(nb, ab, tb, rb)
+        got = k.score(pa_, pb_, bge)
+        assert got.final_score == ref.final_score  # bit-identical
+        assert got.fuzz_score == ref.fuzz_score
+        assert got.levenshtein_score == ref.levenshtein_score
+        assert got.cross_encoder_score == ref.cross_encoder_score
+        # the prune bound must dominate the achieved final score
+        from entitydisambiguation_ray.functions.scoring import (
+            type_multiplier as tm,
+        )
+
+        assert k.score_bound(bge, got.cross_encoder_score,
+                             tm(ta, tb, cfg)) >= got.final_score
+
+
+def test_pairkernel_empty_vs_empty_lev_edge():
+    from entitydisambiguation_ray.functions.scoring import (
+        MentionPre,
+        PairKernel,
+    )
+
+    cfg = EngineConfig(reranker="hash_ce")
+    k = PairKernel(cfg)
+    # both-empty names: levenshtein_norm("","") == 0.0 (NOT 1.0) — the
+    # equality short-circuit must preserve the reference edge case
+    ref = comprehensive_score("", [], None, "", "", [], None, "", 0.3, cfg)
+    got = k.score(MentionPre("", [], None, ""), MentionPre("", [], None, ""),
+                  0.3)
+    assert got.final_score == ref.final_score
+    assert got.levenshtein_score == ref.levenshtein_score == 0.0
+
+
+def test_pairkernel_rejects_cross_encoder_mode():
+    from entitydisambiguation_ray.functions.scoring import PairKernel
+
+    with pytest.raises(ValueError):
+        PairKernel(EngineConfig(reranker="cross_encoder"))
+
+
+def test_decide_one_prune_matches_unpruned():
+    """Disambiguator with bound pruning must produce the identical decision
+    tuple as an exhaustive comprehensive_score argmax over the same
+    candidates (keep-first tie semantics included)."""
+    import json as _json
+
+    from entitydisambiguation_ray.stages.disambiguate import Disambiguator
+
+    cfg = EngineConfig(reranker="hash_ce")
+    d = Disambiguator(cfg=cfg)
+    rng = np.random.default_rng(11)
+    # use real KB rows as mention inputs (guaranteed candidate overlap +
+    # exact ties), plus randomized variants
+    rows = d.kb.rows
+    cases = []
+    for i in rng.choice(len(rows), size=min(40, len(rows)), replace=False):
+        r = rows[int(i)]
+        cases.append((r["name"], r["type"], r["aliases"],
+                      r.get("definition") or "",
+                      r.get("attributes")))
+    for _ in range(20):
+        n, a, t, df = _rand_entity(rng)
+        cases.append((n, t, a, df, None))
+    for name, mtype, aliases, definition, attrs in cases:
+        et = embed_text(name, aliases, definition, attrs)
+        rt = rerank_text(name, aliases, definition)
+        vec = d.encoder.encode([et])[0]
+        got = d.decide_one(name, mtype, aliases, rt, vec)
+        # exhaustive oracle over the same candidate list
+        cands = d.kb.candidates(vec, mtype, cfg.faiss_top_k)
+        best, best_row = None, None
+        for ki, bge in cands:
+            row = d.kb.rows[ki]
+            s = comprehensive_score(name, aliases, mtype, rt, row["name"],
+                                    row["aliases"], row["type"],
+                                    row["rerank_text"], bge, cfg)
+            if best is None or s.final_score > best.final_score:
+                best, best_row = s, row
+        assert got[7] == best.final_score  # final
+        assert got[3] == best.bge_score
+        assert got[4] == best.cross_encoder_score
+        assert got[5] == best.fuzz_score
+        assert got[6] == best.levenshtein_score
+        if got[0] == MERGE:
+            assert got[1] == best_row["id"]
+            assert got[2] == best_row["name"]
