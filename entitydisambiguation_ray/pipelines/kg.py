@@ -596,14 +596,15 @@ def _remap_decisions_distributed(dec: rd.Dataset, edges_ds: rd.Dataset,
     an edge list or the decisions table."""
     import pyarrow.compute as pc
 
-    from ..stages.join import shuffle_hash_join
+    from ..stages.join import pad_union, shuffle_hash_join
     from ..stages.partition import partitioned_groupby
-    from ..state.unionfind import distributed_components
+    from ..state.unionfind import components_auto
 
-    comps = distributed_components(edges_ds, nparts=nparts)
+    comps = components_auto(edges_ds, nparts=nparts)
 
-    # occ: min first_occ per CREATED canonical_id (per-batch combiner +
-    # coarse keyed min — mirrors created.groupby(canonical_id).first_occ.min())
+    # occ: per-batch min-first_occ combiner over CREATED rows (tiny —
+    # one row per (batch, canonical_id); the keyed reduction happens inside
+    # the fused cogroup below, not as its own shuffle)
     def created_occ_partial(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.equal(batch.column("decision"), "create"))
         tbl = pa.table({"node": kept.column("canonical_id"),
@@ -615,47 +616,40 @@ def _remap_decisions_distributed(dec: rd.Dataset, edges_ds: rd.Dataset,
     occ = dec.map_batches(created_occ_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
 
-    def occ_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["occ"].min()
-
-    occ = partitioned_groupby(occ, "node", occ_min, nparts=nparts)
-
+    # Fused remap (round-3 finding: this chain was 2 partitioned_groupbys +
+    # 2 shuffle joins + a left join, and its fixed shuffle-round latency
+    # made distributed canonicalization 2x driver mode at 1M pages).  Now:
+    #   stage A — ONE shuffle keyed node: cogroup comps labels with occ
+    #     partials (pad_union side tag); per node: component label from
+    #     comps, occ = min over partials, "￿" sentinel when the member has
+    #     no created row (same collation as the driver path);
+    #   stage B — ONE shuffle keyed canonical: representative = first
+    #     (occ, node) member, emitted as the full (node, rep) remap via a
+    #     per-group transform — reps and the reps⋈members join collapse
+    #     into one kernel.
     st = {"node": pa.string(), "canonical": pa.string()}
     ot = {"node": pa.string(), "occ": pa.string()}
-    j = shuffle_hash_join(comps, occ, on="node", nparts=nparts,
-                          ltypes=st, rtypes=ot, how="left")
+    u = pad_union(comps, occ, a_types=st, b_types=ot)
 
-    def fill_occ(batch: pa.Table) -> pa.Table:
-        o = batch.column("occ")
-        if o.type != pa.string():  # empty merge partitions degrade to null
-            o = o.cast(pa.string())
-        # missing occ (non-created member) sorts LAST — same "￿" sentinel
-        # as the driver path
-        o = pc.if_else(pc.is_null(o), pa.scalar("￿"), o)
-        cols = {"node": batch.column("node"),
-                "canonical": batch.column("canonical"), "occ": o}
-        return pa.table({k: (v if v.type == pa.string()
-                             else v.cast(pa.string()))
-                         for k, v in cols.items()})
+    def attach_occ(df: pd.DataFrame) -> pd.DataFrame:
+        is_c = df["_side"] == 0
+        cdf = df[is_c]
+        odf = df[~is_c]
+        occ_min = odf.groupby("node")["occ"].min()
+        o = cdf["node"].map(occ_min).fillna("￿")
+        return pd.DataFrame({"node": cdf["node"].to_numpy(),
+                             "canonical": cdf["canonical"].to_numpy(),
+                             "occ": o.to_numpy()})
 
-    j = j.map_batches(fill_occ, batch_format="pyarrow").materialize()
+    j = partitioned_groupby(u, "node", attach_occ, nparts=nparts)
 
-    def rep_of_root(df: pd.DataFrame) -> pd.DataFrame:
+    def rep_and_remap(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["canonical", "occ", "node"], kind="mergesort")
-        df = df.drop_duplicates("canonical")
-        return pd.DataFrame({"canonical": df["canonical"].to_numpy(),
-                             "rep": df["node"].to_numpy()})
+        rep = df.groupby("canonical", sort=False)["node"].transform("first")
+        return pd.DataFrame({"node": df["node"].to_numpy(),
+                             "rep": rep.to_numpy()})
 
-    reps = partitioned_groupby(j, "canonical", rep_of_root, nparts=nparts)
-
-    jt = {"node": pa.string(), "canonical": pa.string(), "occ": pa.string()}
-    rt = {"canonical": pa.string(), "rep": pa.string()}
-    remap = shuffle_hash_join(j, reps, on="canonical", nparts=nparts,
-                              ltypes=jt, rtypes=rt)  # node, canonical, occ, rep
-    remap = remap.map_batches(
-        lambda t: pa.table({"node": t.column("node"),
-                            "rep": t.column("rep")}),
-        batch_format="pyarrow")
+    remap = partitioned_groupby(j, "canonical", rep_and_remap, nparts=nparts)
 
     from ..stages.disambiguate import DECISION_SCHEMA
 
@@ -827,8 +821,11 @@ def canonicalize_distributed(triples: rd.Dataset, decisions: rd.Dataset,
         .map_batches(_cast_to_types(dtypes), batch_format="pyarrow",
                      zero_copy_batch=True).materialize()
     if cfg.round2_dedup:
+        # the pair stage is compute-bound per token group, not
+        # row-volume-bound: give it at least cluster-width parallelism even
+        # when the decisions table is small (np_dec adapts to ROWS)
         edges_r2 = distributed_round2_edges(
-            dec, cfg, collect=False, nparts=np_dec).materialize()
+            dec, cfg, collect=False, nparts=max(np_dec, 32)).materialize()
         if edges_r2.count():
             dec = _remap_decisions_distributed(dec, edges_r2,
                                                nparts=np_dec).materialize()

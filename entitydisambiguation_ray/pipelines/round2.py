@@ -128,16 +128,15 @@ def distributed_round2_edges(
         lambda b: _explode_tokens(b, "kb"), batch_format="pyarrow")
     pr_tok = cand.map_batches(
         lambda b: _explode_tokens(b, "probe"), batch_format="pyarrow")
-    both = kb_tok.union(pr_tok).materialize()  # consumed twice (count + join)
+    both = kb_tok.union(pr_tok)
 
-    # pass 1: document frequency per token on the KB side → hot-token set
-    from ray.data.aggregate import Count
-
-    kb_counts = (both.map_batches(
-        lambda t: t.filter(pc.equal(t.column("side"), "kb")),
-        batch_format="pyarrow")
-        .groupby("token").aggregate(Count(alias_name="n")).to_pandas())
-    hot = set(kb_counts.loc[kb_counts["n"] > df_cap, "token"])
+    # Document-frequency cap WITHOUT a separate counting pass: the coarse
+    # groupby(token) below colocates ALL rows of a token in one partition
+    # by construction, so each token group's own kb row count IS its global
+    # document frequency — the former two-pass (materialize + keyed count +
+    # driver hot-set) spent two full Ray executions recomputing a number
+    # the cogroup already has in hand.  Semantics identical
+    # (equivalence-tested against the driver round-2).
     bge_floor = bge_prefilter_floor(cfg)
 
     def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -170,7 +169,7 @@ def distributed_round2_edges(
             pr = g[g["side"] == "probe"]
             if kb.empty or pr.empty:
                 continue
-            if token in hot:
+            if len(kb) > df_cap:  # len(kb) == global df: see note above
                 dropped += len(kb) * len(pr)
                 continue
             kids = kb["id"].tolist()

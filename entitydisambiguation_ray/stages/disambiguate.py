@@ -193,6 +193,36 @@ class KnowledgeBase:
         return vector_results[:top_k]
 
 
+def batch_invariant_ips(matrix: np.ndarray, vecs: np.ndarray,
+                        unit: int = 1024) -> np.ndarray:
+    """(kb, dim) @ (batch, dim).T with BATCH-WIDTH-INVARIANT rounding.
+
+    BLAS picks its blocking (and therefore its float summation order) from
+    the GEMM shape, so the same mention scored in a 700-wide batch and a
+    300-wide batch can differ by 1 ulp — which broke run-to-run byte
+    identity of the decisions table whenever upstream block boundaries
+    shifted (observed: 12/20,312 rows drifting ~1e-8 between a resumed and
+    a fresh 150k-page run).  Padding every batch to one fixed width makes
+    the kernel choice — and the result for every real column — identical
+    regardless of how the streaming executor happened to batch the rows
+    (verified: padded 300-wide == padded 700-wide to the last bit; column
+    position within a fixed-shape GEMM does not affect rounding).  Batches
+    wider than ``unit`` are processed in unit-wide slices."""
+    n = vecs.shape[0]
+    if n == 0:
+        return np.empty((matrix.shape[0], 0), dtype=matrix.dtype)
+    out = []
+    for lo in range(0, n, unit):
+        chunk = vecs[lo:lo + unit]
+        if chunk.shape[0] == unit:
+            out.append(matrix @ chunk.T)
+        else:
+            pad = np.zeros((unit, vecs.shape[1]), dtype=chunk.dtype)
+            pad[: chunk.shape[0]] = chunk
+            out.append((matrix @ pad.T)[:, : chunk.shape[0]])
+    return out[0] if len(out) == 1 else np.concatenate(out, axis=1)
+
+
 class Disambiguator:
     """Actor-pool stage over UNIQUE mentions → decisions table."""
 
@@ -263,7 +293,8 @@ class Disambiguator:
         # one (kb, batch) matmul for the whole batch (vectorized retrieval;
         # the reference encodes and searches one text per call,
         # vectorization.py:487-495 — this is the #1 throughput fix)
-        all_ips = self.kb.matrix @ vecs.T if len(self.kb.rows) else None
+        all_ips = (batch_invariant_ips(self.kb.matrix, vecs)
+                   if len(self.kb.rows) else None)
         names = batch.column("name").to_pylist()
         types = batch.column("type").to_pylist()
         aliases_l = batch.column("aliases_json").to_pylist()
@@ -384,7 +415,8 @@ class CandidateMatcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         etexts = batch.column("embed_text").to_pylist()
         vecs = self.encoder.encode(etexts)
-        all_ips = self.kb.matrix @ vecs.T if len(self.kb.rows) else None
+        all_ips = (batch_invariant_ips(self.kb.matrix, vecs)
+                   if len(self.kb.rows) else None)
         names = batch.column("name").to_pylist()
         types = batch.column("type").to_pylist()
         aliases_l = batch.column("aliases_json").to_pylist()

@@ -92,9 +92,39 @@ def partition_files(dirs: list[str]) -> list[str]:
     return out
 
 
+def _serialize_fs_probe():
+    """Work around a Ray/fsspec thread-safety bug hit by concurrent
+    read/write path resolution: ``path_util._is_http_filesystem`` attempts
+    ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY
+    call; when aiohttp is absent that import fails and is retried each
+    time, and two driver threads resolving paths concurrently can observe
+    a partially-initialized module — an ImportError ("cannot import name
+    HTTPFileSystem") that escapes Ray's ``except ModuleNotFoundError``
+    (reproduced deterministically with 4 threads × read_parquet).  The
+    probe is wrapped with a process-wide lock once; semantics unchanged."""
+    import threading
+
+    try:
+        import ray.data.datasource.path_util as _pu
+    except ImportError:  # pragma: no cover - ray layout change
+        return
+    if getattr(_pu._is_http_filesystem, "_ed_ray_locked", False):
+        return
+    lock = threading.Lock()
+    orig = _pu._is_http_filesystem
+
+    def locked(fs):
+        with lock:
+            return orig(fs)
+
+    locked._ed_ray_locked = True
+    _pu._is_http_filesystem = locked
+
+
 def run_partitioned_stage(
     store: CheckpointStore, stage: str, nparts: int,
     make_partition_ds, input_fingerprint: str,
+    overlap: int = 2,
 ) -> list[str]:
     """Execute a stage partition-by-partition with commit manifests.
 
@@ -103,22 +133,18 @@ def run_partitioned_stage(
     reused).  Returns the list of partition dirs (committed + newly built).
 
     At cluster scale each partition is itself a distributed Dataset write —
-    the commit unit is the partition, the parallel unit is the block."""
-    store.clear_uncommitted(stage, nparts)
-    dirs = []
-    for p in range(nparts):
+    the commit unit is the partition, the parallel unit is the block.
+
+    ``overlap``: number of partition executions in flight at once (driver
+    threads; Ray Data executions compose).  A strictly sequential loop pays
+    each execution's ramp-up + drain underutilization ``nparts`` times;
+    overlapping two pipelines keeps the cluster saturated across partition
+    boundaries while the commit unit (one manifest per partition, written
+    atomically AFTER its parquet) is unchanged — a kill still leaves every
+    partition either fully committed or re-runnable."""
+
+    def run_one(p: int) -> str:
         pdir = store.part_dir(stage, p)
-        if store.is_committed(stage, p):
-            committed = store.read_manifest(stage, p)
-            if committed.input_fingerprint != input_fingerprint:
-                raise ValueError(
-                    f"checkpoint dir {store.run_dir!r} stage {stage!r} "
-                    f"part {p} was committed for a different input "
-                    f"({committed.input_fingerprint} != {input_fingerprint}); "
-                    "resuming would silently mix corpora — use a fresh "
-                    "run dir (or delete the stale checkpoint)")
-            dirs.append(pdir)
-            continue
         t0 = time.perf_counter()
         ds = make_partition_ds(p)
         os.makedirs(pdir, exist_ok=True)
@@ -139,7 +165,35 @@ def run_partitioned_stage(
                       "n_files": len(pq_files),
                       **_stats_counters(ds)},
         ))
-        dirs.append(pdir)
+        return pdir
+
+    store.clear_uncommitted(stage, nparts)
+    dirs: list[str] = [""] * nparts
+    todo = []
+    for p in range(nparts):
+        if store.is_committed(stage, p):
+            committed = store.read_manifest(stage, p)
+            if committed.input_fingerprint != input_fingerprint:
+                raise ValueError(
+                    f"checkpoint dir {store.run_dir!r} stage {stage!r} "
+                    f"part {p} was committed for a different input "
+                    f"({committed.input_fingerprint} != {input_fingerprint}); "
+                    "resuming would silently mix corpora — use a fresh "
+                    "run dir (or delete the stale checkpoint)")
+            dirs[p] = store.part_dir(stage, p)
+        else:
+            todo.append(p)
+    if todo:
+        if overlap <= 1 or len(todo) == 1:
+            for p in todo:
+                dirs[p] = run_one(p)
+        else:
+            _serialize_fs_probe()
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=overlap) as pool:
+                for p, pdir in zip(todo, pool.map(run_one, todo)):
+                    dirs[p] = pdir
     return dirs
 
 

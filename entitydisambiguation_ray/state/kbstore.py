@@ -38,6 +38,10 @@ def kb_add(kb: KnowledgeBase, row: dict) -> None:
     row.setdefault("create_time", None)
     row["rerank_text"] = rerank_text(row["name"], row["aliases"],
                                      row.get("definition"))
+    from ..functions.scoring import MentionPre
+
+    row["_pre"] = MentionPre(row["name"], row["aliases"], row.get("type"),
+                             row["rerank_text"])
     vec = kb.encoder.encode([embed_text(row["name"], row["aliases"],
                                         row.get("definition"),
                                         row.get("attributes"))])
@@ -60,7 +64,10 @@ def save_kb(kb: KnowledgeBase, prefix: str) -> None:
     os.replace(prefix + ".npz.tmp.npz", prefix + ".npz")
     rows = [
         {k: (v.isoformat() if hasattr(v, "isoformat") else v)
-         for k, v in r.items() if k != "rerank_text"}
+         for k, v in r.items()
+         # derived per-actor fields (rerank text, precomputed string
+         # forms) are rebuilt at load time, never persisted
+         if k != "rerank_text" and not k.startswith("_")}
         for r in kb.rows
     ]
     tmp = prefix + ".rows.json.tmp"

@@ -16,18 +16,27 @@ def _edges_df(run):
             .reset_index(drop=True))
 
 
-def test_kill_resume_byte_identical(ray_session, tmp_path, monkeypatch):
+@pytest.mark.parametrize("canonicalize", ["auto", "distributed"])
+def test_kill_resume_byte_identical(ray_session, tmp_path, monkeypatch,
+                                    canonicalize):
+    """Both canonicalization modes must survive a mid-run kill with
+    byte-identical final tables (a real SIGKILL variant at 150k pages with
+    canonicalize=distributed is recorded in BASELINE.md — 4/10 partitions
+    committed at kill, resume + fresh runs byte-identical)."""
+    import dataclasses
+
+    from entitydisambiguation_ray.config import DEFAULT_CONFIG
     from entitydisambiguation_ray.pipelines import checkpointed as cp
 
+    cfg = dataclasses.replace(DEFAULT_CONFIG, canonicalize=canonicalize)
     N = 60
     # uninterrupted reference run
-    ref = cp.run_checkpointed_kg(str(tmp_path / "ref"), N, nparts=4)
+    ref = cp.run_checkpointed_kg(str(tmp_path / "ref"), N, nparts=4, cfg=cfg)
     ref_edges = _edges_df(ref)
     assert len(ref_edges) > 0
 
     # interrupted run: fail while building partition 2
     real_page_range = cp._page_range
-    calls = {"n": 0}
 
     def failing_page_range(lo, hi, seed):
         if lo >= 30:  # partitions 2,3
@@ -36,14 +45,16 @@ def test_kill_resume_byte_identical(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(cp, "_page_range", failing_page_range)
     with pytest.raises(RuntimeError):
-        cp.run_checkpointed_kg(str(tmp_path / "killed"), N, nparts=4)
+        cp.run_checkpointed_kg(str(tmp_path / "killed"), N, nparts=4,
+                               cfg=cfg)
     store = cp.CheckpointStore(str(tmp_path / "killed"))
     committed = store.committed_parts("triples")
     assert committed == [0, 1]  # first two partitions survived the kill
 
     # resume with the failure removed → completes, skipping committed parts
     monkeypatch.setattr(cp, "_page_range", real_page_range)
-    resumed = cp.run_checkpointed_kg(str(tmp_path / "killed"), N, nparts=4)
+    resumed = cp.run_checkpointed_kg(str(tmp_path / "killed"), N, nparts=4,
+                                     cfg=cfg)
     assert store.committed_parts("triples") == [0, 1, 2, 3]
     res_edges = _edges_df(resumed)
     pd.testing.assert_frame_equal(res_edges, ref_edges)

@@ -158,3 +158,39 @@ def test_fingerprint_mismatch_refuses_resume(ray_session, tmp_path):
     run_partitioned_stage(store, "s", 2, make, "fp-A")
     with pytest.raises(ValueError, match="different input"):
         run_partitioned_stage(store, "s", 2, make, "fp-B")
+
+
+def test_components_auto_paths_identical(ray_session):
+    """components_auto's bounded driver path and the Dataset-resident
+    propagation must produce the identical (node, canonical) mapping."""
+    import numpy as np
+    import ray.data as rd
+
+    from entitydisambiguation_ray.state.unionfind import (
+        components_auto,
+        distributed_components,
+    )
+
+    rng = np.random.default_rng(3)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [(nodes[int(rng.integers(0, 60))], nodes[int(rng.integers(0, 60))])
+             for _ in range(80)]  # includes self-loops by chance
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    ds = ds.materialize()
+    via_driver = (components_auto(ds, nparts=8, driver_max=10**6)
+                  .to_pandas().sort_values("node").reset_index(drop=True))
+    via_dist = (components_auto(ds, nparts=8, driver_max=0)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+    ref = (distributed_components(ds, nparts=8)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert via_driver.equals(via_dist)
+    assert via_driver.equals(ref)
+
+
+def test_components_auto_empty(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.state.unionfind import components_auto
+
+    ds = rd.from_items([]).materialize()
+    assert components_auto(ds, nparts=4).count() == 0
