@@ -418,8 +418,12 @@ def _q_ngram_jaccard(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "lang"])
+    # language blocks grow with the corpus — reroute any block beyond the
+    # dense-kernel cap through the prefix-filter path (exact either way;
+    # parity pytest test_dedup_ann.py::test_ngram_jaccard_reroute_parity)
     return ngram_jaccard_pairs(ds, "doc_id", "text", "lang",
-                               threshold=0.6).sort(["doc_a", "doc_b"])
+                               threshold=0.6,
+                               oversize="reroute").sort(["doc_a", "doc_b"])
 
 
 def _q_approx_quantiles(sf_dir: str):

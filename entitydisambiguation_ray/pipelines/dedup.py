@@ -452,6 +452,7 @@ def winnow_pairs(
 def ngram_jaccard_pairs(
     ds: rd.Dataset, id_col: str, text_col: str, block_col: str,
     *, threshold: float = 0.6, n: int = 1,
+    block_cap: int = 2048, oversize: str = "raise",
 ) -> rd.Dataset:
     """EXACT word-n-gram Jaccard near-dup within a blocking key — the
     exact member of the dedup family (minhash_lsh_pairs is the approximate
@@ -461,6 +462,22 @@ def ngram_jaccard_pairs(
     vectorized incidence-matrix matmul (docs × shingle vocabulary), never
     a per-pair Python loop.
 
+    Bounded-block contract — ENFORCED, not prose (round-3 finding: the
+    per-block dense docs × vocab incidence matrix OOMs on a corpus-scale
+    block such as a whole language): a pre-pass counts block sizes
+    (``count_hot_keys`` combiner, bounded by skew); blocks beyond
+    ``block_cap`` rows either
+
+    - ``oversize="raise"`` (default): fail LOUDLY listing the offending
+      blocks — the caller picked a blocking key that is not a block, or
+    - ``oversize="reroute"``: run through ``prefix_jaccard_pairs`` (the
+      exact open-domain path with no dense per-block state) per oversized
+      block, with the rerouted row mass logged — mirroring the
+      LSH_BUCKET_CAP discipline.  Reroute preserves this operator's exact
+      tokenization (lower / split(" ") / empties kept) by canonicalizing
+      texts before the prefix filter; parity is pytest-verified on a
+      planted oversized block.
+
     n=1 tokenization deliberately matches the SQL oracle byte-for-byte:
     ``lower().split(' ')`` with set semantics (empty tokens kept, exactly
     like DuckDB ``list_distinct(string_split(lower(text), ' '))``).
@@ -468,6 +485,22 @@ def ngram_jaccard_pairs(
     counts < 2^24) and the final division is float64, so the quotient is
     bit-identical to the oracle's.
     """
+    if oversize not in ("raise", "reroute"):
+        raise ValueError(f"oversize must be 'raise' or 'reroute', "
+                         f"got {oversize!r}")
+    from ..stages.join import count_hot_keys
+
+    ds = ds.materialize()  # consumed 2-3 times (count pass + split paths)
+    hot = count_hot_keys(ds, block_col, threshold=block_cap, salt_max=0)
+    if hot and oversize == "raise":
+        worst = sorted(hot.items(), key=lambda kv: -kv[1])[:5]
+        raise ValueError(
+            f"ngram_jaccard_pairs: {len(hot)} block(s) exceed "
+            f"block_cap={block_cap} rows (largest: {worst}) — the dense "
+            "per-block kernel would not be memory-bounded.  Pick a finer "
+            "blocking key, raise block_cap deliberately, or pass "
+            "oversize='reroute' to run oversized blocks through the "
+            "prefix-filter path")
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).reset_index(drop=True)
@@ -508,8 +541,98 @@ def ngram_jaccard_pairs(
             "jaccard": _round_half_away(jac[keep], 4),
         })
 
-    return ds.groupby(block_col).map_groups(group_pairs,
-                                            batch_format="pandas")
+    if not hot:
+        return ds.groupby(block_col).map_groups(group_pairs,
+                                                batch_format="pandas")
+
+    # oversize="reroute": bounded blocks keep the dense kernel; each
+    # oversized block (bounded COUNT — skew, not cardinality) runs the
+    # prefix-filter path, which holds no dense per-block state.
+    import logging
+
+    hot_set = set(hot)
+    rerouted_rows = sum(hot.values())
+    logging.getLogger(__name__).warning(
+        "ngram_jaccard_pairs rerouting %d block(s) totalling %d rows "
+        "(> block_cap=%d) through prefix_jaccard_pairs: %s",
+        len(hot), rerouted_rows, block_cap,
+        sorted(hot, key=lambda k: -hot[k])[:5])
+
+    def in_hot(batch: pa.Table, invert: bool) -> pa.Table:
+        mask = pc.is_in(batch.column(block_col),
+                        value_set=pa.array(sorted(hot_set)))
+        return batch.filter(pc.invert(mask) if invert else mask)
+
+    import functools
+
+    bounded = ds.map_batches(functools.partial(in_hot, invert=True),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    out = bounded.groupby(block_col).map_groups(group_pairs,
+                                                batch_format="pandas")
+    # normalize to Arrow blocks: the union below mixes this with the
+    # Arrow-block prefix path, and Ray's sort refuses mixed block types
+    out = out.map_batches(lambda t: t, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    # canonicalize so prefix_jaccard's tokenizer (str.split()) sees
+    # EXACTLY this operator's token sets: lower + split(" ") with empty
+    # tokens kept ("\\x00" placeholder — whitespace-free by construction).
+    # Tokens containing non-space whitespace would be re-split by the
+    # prefix path; refuse loudly rather than silently diverge.
+    def canon(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = []
+        for t in batch.column(text_col).to_pylist():
+            toks = t.lower().split(" ")
+            for tok in toks:
+                if any(c in tok for c in "\t\n\r\x0b\x0c\x00\x01"):
+                    raise ValueError(
+                        "ngram_jaccard_pairs reroute: token contains "
+                        "non-space whitespace or reserved control chars; "
+                        "the prefix-path canonicalization cannot "
+                        "represent it — clean the text or raise "
+                        "block_cap")
+            if n > 1:
+                # shingle here; inner spaces become \\x01 so the prefix
+                # path's whitespace split sees one token per shingle
+                toks = ["\x01".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)]
+            texts.append(" ".join(tok if tok else "\x00" for tok in toks))
+        # "" marks an n>1 doc with < n tokens (empty shingle set — can
+        # never pair at threshold > 0); dropped by the filter below
+        return pa.table({id_col: ids, "_canon": pa.array(texts,
+                                                         pa.string()),
+                         block_col: batch.column(block_col)})
+
+    hot_ds = ds.map_batches(functools.partial(in_hot, invert=False),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    canon_ds = hot_ds.map_batches(canon, batch_format="pyarrow")
+    if n > 1:
+        # docs with fewer than n tokens have EMPTY shingle sets and can
+        # never reach a positive threshold — dropping them is exact
+        canon_ds = canon_ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("_canon"), "")),
+            batch_format="pyarrow", zero_copy_batch=True)
+    parts = [out]
+    for blk in sorted(hot_set):
+        one = canon_ds.map_batches(
+            lambda t, b=blk: t.filter(pc.equal(t.column(block_col), b)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        pj = prefix_jaccard_pairs(one, id_col, "_canon",
+                                  threshold=threshold, n=1)
+
+        def finish(batch: pa.Table) -> pa.Table:
+            jac = batch.column("jaccard").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_a": batch.column("id_a"),
+                "doc_b": batch.column("id_b"),
+                "jaccard": pa.array(_round_half_away(jac, 4),
+                                    pa.float64()),
+            })
+
+        parts.append(pj.map_batches(finish, batch_format="pyarrow"))
+    first, rest = parts[0], parts[1:]
+    return first.union(*rest) if rest else first
 
 
 def embedding_neardup_pairs(
