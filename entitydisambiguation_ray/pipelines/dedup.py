@@ -490,7 +490,11 @@ def ngram_jaccard_pairs(
                          f"got {oversize!r}")
     from ..stages.join import count_hot_keys
 
-    ds = ds.materialize()  # consumed 2-3 times (count pass + split paths)
+    # NOT materialized: the input is consumed 2-3 times (count pre-pass +
+    # split paths), but it is typically a pruned parquet read — re-running
+    # that lineage re-reads three columns, which beats pinning the corpus
+    # text in the object store for the duration.  Callers with expensive
+    # upstream lineage should materialize before calling.
     hot = count_hot_keys(ds, block_col, threshold=block_cap, salt_max=0)
     if hot and oversize == "raise":
         worst = sorted(hot.items(), key=lambda kv: -kv[1])[:5]

@@ -223,6 +223,25 @@ def _entity_row(e) -> dict:
     return row
 
 
+_KERNELS: dict[EngineConfig, object] = {}
+
+
+def _kernel_for(cfg: EngineConfig):
+    """Process-global PairKernel per config (None for the real-CE mode,
+    which must score through comprehensive_score per pair)."""
+    if cfg.reranker == "cross_encoder":
+        return None
+    k = _KERNELS.get(cfg)
+    if k is None:
+        from ..functions.scoring import PairKernel
+
+        if len(_KERNELS) > 8:
+            _KERNELS.clear()
+        k = PairKernel(cfg)
+        _KERNELS[cfg] = k
+    return k
+
+
 def _decide_partition(df: pd.DataFrame, kb_all: dict, enc, kbcache: dict,
                       cfg: EngineConfig, self_id_col: str | None
                       ) -> pd.DataFrame:
@@ -260,14 +279,36 @@ def _decide_partition(df: pd.DataFrame, kb_all: dict, enc, kbcache: dict,
                     continue
             aliases = json.loads(m["aliases_json"])
             best, best_row = None, None
-            for i, bge in cands:
-                row = kb.rows[i]
-                s = comprehensive_score(
-                    m["name"], aliases, m["type"], m["rerank_text"],
-                    row["name"], row["aliases"], row["type"],
-                    row["rerank_text"], bge, cfg)
-                if best is None or s.final_score > best.final_score:
-                    best, best_row = s, row
+            kern = _kernel_for(cfg)
+            if kern is not None:
+                # argmax-only semantics → the same exact bound pruning as
+                # Disambiguator.decide_one (skip candidates whose upper
+                # bound cannot strictly beat the running best)
+                from ..functions.scoring import MentionPre, type_multiplier
+
+                pre = MentionPre(m["name"], aliases, m["type"],
+                                 m["rerank_text"])
+                for i, bge in cands:
+                    row = kb.rows[i]
+                    ce = kern.ce(pre, row["_pre"])
+                    mult = type_multiplier(m["type"], row["type"], cfg)
+                    if (best is not None
+                            and kern.score_bound(bge, ce, mult)
+                            <= best.final_score):
+                        continue
+                    s = kern.score(pre, row["_pre"], bge, ce_score=ce,
+                                   mult=mult)
+                    if best is None or s.final_score > best.final_score:
+                        best, best_row = s, row
+            else:
+                for i, bge in cands:
+                    row = kb.rows[i]
+                    s = comprehensive_score(
+                        m["name"], aliases, m["type"], m["rerank_text"],
+                        row["name"], row["aliases"], row["type"],
+                        row["rerank_text"], bge, cfg)
+                    if best is None or s.final_score > best.final_score:
+                        best, best_row = s, row
             decision = make_decision(best.final_score, cfg=cfg)
             match_id = best_row["id"] if decision == MERGE else None
             canonical = (match_id if decision == MERGE

@@ -411,6 +411,8 @@ class CandidateMatcher:
         self.cfg = cfg
         self.kb = KnowledgeBase(entities=entities, cfg=cfg)
         self.encoder = self.kb.encoder
+        self.kernel = (None if cfg.reranker == "cross_encoder"
+                       else PairKernel(cfg))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         etexts = batch.column("embed_text").to_pylist()
@@ -428,15 +430,21 @@ class CandidateMatcher:
                 vecs[i], types[i], self.cfg.faiss_top_k,
                 ips=all_ips[:, i] if all_ips is not None else None)
             aliases = json.loads(aliases_l[i])
+            pre = (MentionPre(names[i], aliases, types[i], rtexts[i])
+                   if self.kernel is not None else None)
             # rank by retrieval order (enumerate(similar_entities, 1) —
             # disambiguation.py:238-251: rank reflects search order, not
-            # final_score order)
+            # final_score order).  No bound pruning here: EVERY candidate's
+            # scores are part of the output; the cached kernels still apply.
             for rank, (ki, bge) in enumerate(cands, 1):
                 row = self.kb.rows[ki]
-                s = comprehensive_score(
-                    names[i], aliases, types[i], rtexts[i],
-                    row["name"], row["aliases"], row["type"],
-                    row["rerank_text"], bge, self.cfg)
+                if self.kernel is not None:
+                    s = self.kernel.score(pre, row["_pre"], bge)
+                else:
+                    s = comprehensive_score(
+                        names[i], aliases, types[i], rtexts[i],
+                        row["name"], row["aliases"], row["type"],
+                        row["rerank_text"], bge, self.cfg)
                 cols["sig"].append(sigs[i])
                 cols["name"].append(names[i])
                 cols["rank"].append(rank)
