@@ -81,31 +81,57 @@ class MentionBuilder:
         return row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {name: [] for name in MENTION_SCHEMA.names}
-        url_col = batch.column("url").to_pylist()
-        subj_col = batch.column("subj").to_pylist()
-        obj_col = batch.column("obj").to_pylist()
-        sent_col = batch.column("sent_idx").to_pylist()
-        for url, subj, obj, sent_idx in zip(url_col, subj_col, obj_col,
-                                            sent_col):
-            for role, surface in (("subj", subj), ("obj", obj)):
-                (sig, name, etype, aliases_json, definition, attributes,
-                 rtext, etext) = self._mention_for(surface)
-                cols["sig"].append(sig)
-                cols["url"].append(url)
-                cols["sent_idx"].append(sent_idx)
-                cols["role"].append(role)
-                # "a" < "b": subj precedes obj at the same sentence position
-                cols["first_occ"].append(
-                    f"{url}|{sent_idx:06d}|{'a' if role == 'subj' else 'b'}")
-                cols["name"].append(name)
-                cols["type"].append(etype)
-                cols["aliases_json"].append(aliases_json)
-                cols["definition"].append(definition)
-                cols["attributes"].append(attributes)
-                cols["rerank_text"].append(rtext)
-                cols["embed_text"].append(etext)
-        return pa.table(cols, schema=MENTION_SCHEMA)
+        """Vectorized: per-batch work is one unique() over surfaces, one
+        ``_mention_for`` per UNIQUE surface (memoized across batches), and
+        Arrow gathers — the former per-row Python loop appended 12 columns
+        per mention in a triples-proportional stage, the exact hot-path
+        shape the engine forbids.  Row order (subj then obj per triple,
+        interleaved) and every value are byte-identical to the loop."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        subj = batch.column("subj").combine_chunks()
+        obj = batch.column("obj").combine_chunks()
+        # interleave subj/obj into one surface array in original row order
+        surf_all = pa.chunked_array([subj, obj])
+        interleave = np.empty(2 * n, dtype=np.int64)
+        interleave[0::2] = np.arange(n)           # subj row i → position 2i
+        interleave[1::2] = np.arange(n) + n       # obj  row i → position 2i+1
+        surf = surf_all.take(pa.array(interleave)).combine_chunks()
+        uniq = pc.unique(surf)
+        rows = [self._mention_for(s) for s in uniq.to_pylist()]
+        code = pc.index_in(surf, value_set=uniq)  # (2n,) int32 codes
+        per_field = list(zip(*rows))  # 8 tuples of len(uniq)
+        (sigs, names, etypes, aliases_j, defs, attrs, rtexts,
+         etexts) = [pa.array(list(f), pa.string()) for f in per_field]
+
+        def gather(arr: pa.Array) -> pa.Array:
+            return pc.take(arr, code)
+
+        rep2 = pa.array(np.repeat(np.arange(n), 2))
+        url2 = pc.take(batch.column("url"), rep2)
+        sent2 = pc.take(batch.column("sent_idx"), rep2)
+        role = pa.array(["subj", "obj"] * n, pa.string())
+        # "a" < "b": subj precedes obj at the same sentence position
+        role_letter = pa.array(["a", "b"] * n, pa.string())
+        sent_pad = pc.utf8_lpad(pc.cast(sent2, pa.string()), 6, "0")
+        first_occ = pc.binary_join_element_wise(
+            pc.cast(url2, pa.string()), sent_pad, role_letter, "|")
+        return pa.table({
+            "sig": gather(sigs),
+            "url": url2,
+            "sent_idx": pc.cast(sent2, pa.int32()),
+            "role": role,
+            "first_occ": first_occ,
+            "name": gather(names),
+            "type": gather(etypes),
+            "aliases_json": gather(aliases_j),
+            "definition": gather(defs),
+            "attributes": gather(attrs),
+            "rerank_text": gather(rtexts),
+            "embed_text": gather(etexts),
+        }, schema=MENTION_SCHEMA)
 
 
 def unique_mentions_partial(batch: pa.Table) -> pa.Table:
@@ -114,18 +140,30 @@ def unique_mentions_partial(batch: pa.Table) -> pa.Table:
     are content-identical except ``first_occ``; keeping the corpus-earliest
     occurrence makes the downstream round-2 canonical representative match
     the online oracle's "first create wins" semantics order-freely."""
-    best: dict[str, int] = {}
-    sigs = batch.column("sig").to_pylist()
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return batch
     if "first_occ" in batch.column_names:
-        occs = batch.column("first_occ").to_pylist()
-        for i, (s, o) in enumerate(zip(sigs, occs)):
-            j = best.get(s)
-            if j is None or o < occs[j]:
-                best[s] = i
+        # vectorized keep-min-occ-per-sig (C-speed groupby idxmin; ties
+        # resolve to the earliest row index, same as the strict-< loop
+        # this replaced)
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "sig": batch.column("sig").to_pandas(),
+            "occ": batch.column("first_occ").to_pandas(),
+        })
+        keep = df.groupby("sig", sort=False)["occ"].idxmin().to_numpy()
     else:
-        for i, s in enumerate(sigs):
-            best.setdefault(s, i)
-    return batch.take(sorted(best.values()))
+        code = pc.index_in(batch.column("sig"),
+                           value_set=pc.unique(batch.column("sig"))) \
+            .to_numpy(zero_copy_only=False)
+        # first row index per code
+        _, keep = np.unique(code, return_index=True)
+    keep.sort()
+    return batch.take(pa.array(keep))
 
 
 _BUILDERS: dict[tuple | None, MentionBuilder] = {}
