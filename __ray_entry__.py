@@ -503,9 +503,17 @@ def _q_minhash_pairs(sf_dir: str):
 
     from entitydisambiguation_ray.pipelines.dedup import minhash_lsh_pairs
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.5)
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    # size-adaptive verify mode (same discipline as canonicalize="auto" /
+    # components_auto): the broadcast verify collects the bounded id→text
+    # projection and skips two cogroup shuffles — correct only while the
+    # corpus provably fits (file size known here, cheap stat); the join
+    # verify is the beyond-broadcast scale path and stays the operator
+    # default.  Equivalence of the two paths is pytest-verified.
+    verify = "broadcast" if os.path.getsize(path) < (256 << 20) else "join"
+    out = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.5,
+                            verify=verify)
     return out.sort(["id_a", "id_b"])
 
 

@@ -57,6 +57,63 @@ def _emit_bucket_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ids[ia], ids[ib]
 
 
+def _runs_all_pairs(codes: np.ndarray, cap: int
+                    ) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """All within-run ordered row-index pairs (i < j) over EVERY equal-code
+    run at once — rows must be pre-sorted by (code, id) with ids unique
+    within a run.  Runs longer than ``cap`` are skipped with their pair
+    mass counted.  Returns (a_idx, b_idx, dropped_pairs, dropped_runs).
+
+    This replaces the per-bucket ``for _, g in df.groupby(...)`` loops in
+    the LSH pair generators: with tens of thousands of micro-buckets per
+    partition the pandas group dispatch dominated the stage (measured
+    6.2 s of a 9.5 s single-core minhash run at sf0.1); here the pair
+    index arithmetic is pure numpy regardless of bucket count."""
+    empty = np.empty(0, np.int64)
+    n = len(codes)
+    if n == 0:
+        return empty, empty, 0, 0
+    change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    over = sizes > cap
+    dropped_pairs = int((sizes[over] * (sizes[over] - 1) // 2).sum())
+    dropped_runs = int(over.sum())
+    keep = (sizes >= 2) & ~over
+    s = sizes[keep].astype(np.int64)
+    o = starts[keep].astype(np.int64)
+    if len(s) == 0:
+        return empty, empty, dropped_pairs, dropped_runs
+    # enumerate kept rows: global row index + local position per run
+    total = int(s.sum())
+    run_of = np.repeat(np.arange(len(s)), s)
+    local = np.arange(total) - np.repeat(np.cumsum(s) - s, s)
+    row = o[run_of] + local
+    # each row i (local pos p, run size sz) is the `a` of (sz - 1 - p) pairs
+    a_counts = s[run_of] - 1 - local
+    a_idx = np.repeat(row, a_counts)
+    csum = np.cumsum(a_counts)
+    off = np.arange(int(csum[-1])) - np.repeat(csum - a_counts, a_counts)
+    return a_idx, a_idx + off + 1, dropped_pairs, dropped_runs
+
+
+def _group_codes_sorted(df: pd.DataFrame, key_cols: list[str],
+                        id_col: str) -> tuple[pd.DataFrame, np.ndarray]:
+    """Sort rows by (key_cols..., id_col), dedupe exact (key, id) repeats,
+    and return run codes for ``_runs_all_pairs``."""
+    df = df.drop_duplicates(key_cols + [id_col]) \
+        .sort_values(key_cols + [id_col], kind="mergesort") \
+        .reset_index(drop=True)
+    if not len(df):
+        return df, np.empty(0, np.int64)
+    new = np.zeros(len(df), dtype=bool)
+    new[0] = True
+    for c in key_cols:
+        v = df[c].to_numpy()
+        new[1:] |= v[1:] != v[:-1]
+    return df, np.cumsum(new) - 1
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset, id_col: str, text_col: str,
     *, num_perm: int = 64, bands: int = 16, threshold: float = 0.6,
@@ -92,21 +149,10 @@ def minhash_lsh_pairs(
     # vectorized pandas groupby per partition instead of one map_groups
     # call per micro-bucket — stages/partition.py rationale)
     def buckets_to_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a: list = []
-        out_b: list = []
-        dropped_pairs = 0
-        dropped_buckets = 0
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            ids = np.unique(g["doc_id"].to_numpy())
-            if len(ids) > bucket_cap:
-                dropped_pairs += len(ids) * (len(ids) - 1) // 2
-                dropped_buckets += 1
-                continue
-            a, b = _emit_bucket_pairs(ids)
-            out_a.append(a)
-            out_b.append(b)
+        g, codes = _group_codes_sorted(df, ["band_id", "band_hash"],
+                                       "doc_id")
+        ia, ib, dropped_pairs, dropped_buckets = _runs_all_pairs(
+            codes, bucket_cap)
         if dropped_pairs:
             import logging
 
@@ -115,13 +161,14 @@ def minhash_lsh_pairs(
                 "buckets (> %d members) — near-dups relying ONLY on those "
                 "buckets are missed (they typically share other bands)",
                 dropped_pairs, dropped_buckets, bucket_cap)
-        if not out_a:
+        if not len(ia):
             return pd.DataFrame({"id_a": pd.Series([], dtype=df["doc_id"].dtype),
                                  "id_b": pd.Series([], dtype=df["doc_id"].dtype)})
+        ids = g["doc_id"].to_numpy()
         # local combiner: a pair can re-form via several buckets that hash
         # into THIS partition — dedupe before it enters any exchange
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)}).drop_duplicates()
+        return pd.DataFrame({"id_a": ids[ia],
+                             "id_b": ids[ib]}).drop_duplicates()
 
     candidates = partitioned_groupby(exploded, "band_hash", buckets_to_pairs,
                                      nparts=32)
@@ -312,34 +359,42 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
     """SimHash near-dup pairs (Hamming ≤ max_hamming) via 4×16-bit band
     blocking (pigeonhole-complete for max_hamming ≤ 3).  Band buckets
     beyond ``bucket_cap`` members are dropped as pair generators with the
-    dropped pair mass logged (same discipline as ``minhash_lsh_pairs``)."""
+    dropped pair mass logged (same discipline as ``minhash_lsh_pairs``).
+
+    ONE band shuffle, not four: sketch rows explode to (band_key, doc,
+    simhash) rows — band_key = band_id packed above the 16-bit band value
+    so all four bands cogroup in one coarse exchange (the former
+    one-`partitioned_groupby`-per-band chain paid 4 full shuffle rounds of
+    fixed latency on tiny sketch rows) — then one keyed pair dedup."""
     sh = ds.map_batches(
         functools.partial(simhash_batch, id_col=id_col, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()  # consumed 4× below (one pass per band); small sketch rows
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for b in range(4):
+            key = pc.add(
+                pc.cast(batch.column(f"sh_band{b}"), pa.int64()),
+                pa.scalar((b + 1) << 32, pa.int64()))
+            parts.append(pa.table({
+                "doc_id": batch.column("doc_id"),
+                "band_key": key,
+                "simhash": batch.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
+
+    exploded = sh.map_batches(explode_bands, batch_format="pyarrow")
 
     def band_pairs(df: pd.DataFrame, band_col: str) -> pd.DataFrame:
         # each sketch row carries its own simhash, so the full Hamming check
-        # runs from in-partition values — no driver-side id→simhash map
-        rows = []
-        dropped_pairs = 0
-        dropped_buckets = 0
-        for _, g in df.groupby(band_col, sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            n = len(g)
-            if n > bucket_cap:
-                dropped_pairs += n * (n - 1) // 2
-                dropped_buckets += 1
-                continue
-            ids = g["doc_id"].tolist()
-            hs = [int(h) for h in g["simhash"]]
-            for i, a in enumerate(ids):
-                for j in range(i + 1, n):
-                    h = hamming64(hs[i], hs[j])
-                    if h <= max_hamming:
-                        rows.append((a, ids[j], h))
+        # runs from in-partition values — no driver-side id→simhash map.
+        # NB: dedupe by doc_id WITHIN a bucket (the former per-bucket
+        # drop_duplicates), not globally — key is (band value, doc).
+        g, codes = _group_codes_sorted(df, [band_col], "doc_id")
+        ia, ib, dropped_pairs, dropped_buckets = _runs_all_pairs(
+            codes, bucket_cap)
         if dropped_pairs:
             import logging
 
@@ -348,16 +403,24 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
                 "buckets (> %d members); pairs in those buckets are only "
                 "found via their other bands", dropped_pairs,
                 dropped_buckets, bucket_cap)
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        if not len(ia):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=df["doc_id"].dtype),
+                                 "id_b": pd.Series([], dtype=df["doc_id"].dtype),
+                                 "hamming": pd.Series([], dtype="int64")})
+        hs = g["simhash"].to_numpy(dtype=np.uint64)
+        x = hs[ia] ^ hs[ib]
+        # vectorized popcount: unpack each uint64's bytes and sum bits
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        ids = g["doc_id"].to_numpy()
+        return pd.DataFrame({"id_a": ids[ia[keep]],
+                             "id_b": ids[ib[keep]],
+                             "hamming": ham[keep]})
 
-    per_band = [
-        partitioned_groupby(sh, f"sh_band{b}",
-                            functools.partial(band_pairs,
-                                              band_col=f"sh_band{b}"),
-                            nparts=16)
-        for b in range(4)
-    ]
-    allp = per_band[0].union(*per_band[1:])
+    allp = partitioned_groupby(
+        exploded, "band_key",
+        functools.partial(band_pairs, band_col="band_key"), nparts=16)
 
     def pkey(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -844,19 +907,9 @@ def prefix_jaccard_pairs(
                                    nparts=nparts)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        parts_a, parts_b = [], []
-        dropped_pairs = dropped_buckets = 0
-        for _, g in df.groupby("tok"):
-            ids = np.unique(g["doc"].to_numpy())
-            if len(ids) < 2:
-                continue
-            if len(ids) > bucket_cap:
-                dropped_pairs += len(ids) * (len(ids) - 1) // 2
-                dropped_buckets += 1
-                continue
-            a, b = _emit_bucket_pairs(ids)
-            parts_a.append(a)
-            parts_b.append(b)
+        g, codes = _group_codes_sorted(df, ["tok"], "doc")
+        ia, ib, dropped_pairs, dropped_buckets = _runs_all_pairs(
+            codes, bucket_cap)
         if dropped_buckets:
             import logging
             logging.getLogger(__name__).warning(
@@ -864,15 +917,16 @@ def prefix_jaccard_pairs(
                 "prefix buckets (cap %d) — rarity ordering should keep "
                 "buckets small; a hit here means near-identical mass",
                 dropped_pairs, dropped_buckets, bucket_cap)
-        if not parts_a:
+        if not len(ia):
             return pd.DataFrame({"id_a": df["doc"].iloc[0:0],
                                  "id_b": df["doc"].iloc[0:0]})
+        ids = g["doc"].to_numpy()
         # local combiner: near-dup docs share most prefix tokens, so the
         # same pair recurs once per shared token in this partition —
         # dedupe before the verify shuffle (minhash buckets_to_pairs
         # applies the same discipline)
-        return pd.DataFrame({"id_a": np.concatenate(parts_a),
-                             "id_b": np.concatenate(parts_b)}) \
+        return pd.DataFrame({"id_a": ids[ia],
+                             "id_b": ids[ib]}) \
             .drop_duplicates(ignore_index=True)
 
     cand = partitioned_groupby(prefixes, "tok", bucket_pairs,

@@ -117,19 +117,25 @@ def minhash_batch(batch: pa.Table, *, id_col: str, text_col: str,
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str, k: int = 5) -> int:
-    """64-bit charwise simhash (salted-crc32 feature hashing, unweighted)."""
-    from .sketches import splitmix64
+    """64-bit charwise simhash (salted-crc32 feature hashing, unweighted).
 
-    acc = np.zeros(64, dtype=np.int64)
+    splitmix64 over crc32: uniform independent bit patterns (two salted
+    crc32s of the same bytes are affinely related — see
+    stages/sketches.splitmix64).  Vectorized over ALL shingles at once
+    (one (n_shingles, 64) unpack + column sum; the former per-shingle
+    numpy loop paid kernel-launch overhead ~500× per doc)."""
+    shingles = char_shingles(text, k)
+    # splitmix64 vectorized over the crc array (same arithmetic mod 2^64)
+    x = np.fromiter((zlib.crc32(s) for s in shingles), dtype=np.uint64,
+                    count=len(shingles))
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
     shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for s in char_shingles(text, k):
-        # splitmix64 over crc32: uniform independent bit patterns (two
-        # salted crc32s of the same bytes are affinely related — see
-        # stages/sketches.splitmix64)
-        h = np.uint64(splitmix64(zlib.crc32(s)))
-        bits = (h >> shifts) & one
-        acc += np.where(bits.astype(bool), 1, -1)
+    bits = (x[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
