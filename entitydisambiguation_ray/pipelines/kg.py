@@ -555,9 +555,16 @@ def apply_merge_edges(dec_df: pd.DataFrame,
         uf.union(a, b)
     comp = uf.components()
 
-    # representative = member with earliest first_occ among creates
+    # representative = member with earliest first_occ among creates.
+    # NB: groupby(...).min() on an OBJECT (string) column falls back to a
+    # pure-python per-group aggregation — profiled at 2 s of the serial
+    # driver canonicalize at 400k pages; sort + drop_duplicates is the
+    # C-vectorized equivalent (first row after a stable sort = group min)
     created = dec_df[dec_df["decision"] == "create"]
-    occ = (created.groupby("canonical_id")["first_occ"].min())
+    occ = (created[["canonical_id", "first_occ"]]
+           .sort_values(["canonical_id", "first_occ"], kind="mergesort")
+           .drop_duplicates("canonical_id")
+           .set_index("canonical_id")["first_occ"])
     rep: dict[str, str] = {}
     for node, root in comp.items():
         cur = rep.get(root)
@@ -635,7 +642,11 @@ def _remap_decisions_distributed(dec: rd.Dataset, edges_ds: rd.Dataset,
         is_c = df["_side"] == 0
         cdf = df[is_c]
         odf = df[~is_c]
-        occ_min = odf.groupby("node")["occ"].min()
+        # sort+dedup, NOT groupby().min(): string-column group-min is a
+        # pure-python pandas fallback (see apply_merge_edges note)
+        occ_min = (odf[["node", "occ"]]
+                   .sort_values(["node", "occ"], kind="mergesort")
+                   .drop_duplicates("node").set_index("node")["occ"])
         o = cdf["node"].map(occ_min).fillna("￿")
         return pd.DataFrame({"node": cdf["node"].to_numpy(),
                              "canonical": cdf["canonical"].to_numpy(),

@@ -120,7 +120,12 @@ def distributed_components(edges_ds, nparts: int = 64, max_rounds: int = 50):
         })
 
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["label"].min()
+        # sort+dedup, NOT groupby().min(): group-min over string columns
+        # is a pure-python pandas fallback (profiled 2 s on 20k groups in
+        # the driver path; same trap here per propagation round)
+        return (df[["node", "label"]]
+                .sort_values(["node", "label"], kind="mergesort")
+                .drop_duplicates("node").reset_index(drop=True))
 
     def relabel_endpoint(col: str):
         """Replace edge endpoint ``col`` by its label via one shuffle join
