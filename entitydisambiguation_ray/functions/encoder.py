@@ -55,31 +55,71 @@ class HashEncoder:
     def __init__(self, dim: int = 1024, normalize: bool = True):
         self.dim = dim
         self.normalize = normalize
-        self._feature_cache: dict[str, np.ndarray] = {}
+        # feature → row index into a doubling matrix cache: per-text
+        # encoding is then ONE fancy-index + column sum (C-speed) instead
+        # of a per-feature python loop of 1024-float adds, which profiled
+        # at ~90% of encode time (the encoder is the hottest kernel of the
+        # decisions and round-2 stages)
+        self._feat_idx: dict[str, int] = {}
+        self._mat = np.empty((256, dim), dtype=np.float32)
+        self._n = 0
+        # token → its feature-id array (token + char 2-/3-grams): hot
+        # vocabulary repeats across texts, so the n-gram decomposition and
+        # per-feature lookups happen once per token per worker
+        self._tok_ids: dict[str, np.ndarray] = {}
 
-    def _feature_vec(self, feat: str) -> np.ndarray:
-        vec = self._feature_cache.get(feat)
-        if vec is None:
+    def _feature_id(self, feat: str) -> int:
+        i = self._feat_idx.get(feat)
+        if i is None:
+            if self._n == len(self._mat):
+                self._mat = np.vstack([self._mat, np.empty_like(self._mat)])
             seed = int.from_bytes(
                 hashlib.sha256(feat.encode("utf-8")).digest()[:8], "big"
             )
             rng = np.random.Generator(np.random.PCG64(seed))
-            vec = rng.uniform(-1.0, 1.0, self.dim).astype(np.float32)
-            self._feature_cache[feat] = vec
-        return vec
+            self._mat[self._n] = rng.uniform(-1.0, 1.0, self.dim)
+            i = self._n
+            self._feat_idx[feat] = i
+            self._n += 1
+        return i
+
+    def _feature_vec(self, feat: str) -> np.ndarray:
+        """Kept for compatibility: the per-feature vector by value."""
+        return self._mat[self._feature_id(feat)].copy()
+
+    def _token_ids(self, tok: str) -> np.ndarray:
+        a = self._tok_ids.get(tok)
+        if a is None:
+            feats = ["t:" + tok]
+            if len(tok) >= 2:
+                feats += ["2:" + tok[i:i + 2] for i in range(len(tok) - 1)]
+            if len(tok) >= 3:
+                feats += ["3:" + tok[i:i + 3] for i in range(len(tok) - 2)]
+            a = np.fromiter((self._feature_id(f) for f in feats),
+                            dtype=np.int64, count=len(feats))
+            if len(self._tok_ids) > 500_000:  # bound worker memory
+                self._tok_ids.clear()
+            self._tok_ids[tok] = a
+        return a
 
     def encode_one(self, text: str) -> np.ndarray:
-        feats = _text_features(text)
-        if not feats:
+        toks = text.split()
+        if not toks:
             return np.zeros(self.dim, dtype=np.float32)
-        acc = np.zeros(self.dim, dtype=np.float32)
-        for f in feats:
-            acc += self._feature_vec(f)
+        # same feature order as _text_features (token-major), so the sum
+        # is bit-identical to the uncached path
+        parts = [self._token_ids(t) for t in toks]
+        idxs = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        # pairwise-deterministic C sum (same inputs → same float result on
+        # every worker; the exact rounding differs from the old sequential
+        # loop, which only shifts embeddings by ~1 ulp — all consumers
+        # derive signatures from TEXT, not vectors)
+        acc = self._mat[idxs].sum(axis=0)
         if self.normalize:
             norm = float(np.linalg.norm(acc))
             if norm > 0:
                 acc /= norm
-        return acc
+        return acc.astype(np.float32, copy=False)
 
     def encode(self, texts: list[str]) -> np.ndarray:
         """Batched encode → (n, dim) float32.  Deduplicates repeated texts
