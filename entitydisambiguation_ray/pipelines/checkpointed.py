@@ -105,6 +105,59 @@ def _downstream(triples: rd.Dataset, cfg: EngineConfig, concurrency) -> dict:
     return {"decisions": decisions_sorted, "edges": edges}
 
 
+def run_checkpointed_kg_from_warc(
+    run_dir: str, warc_path: str, nparts: int = 8,
+    cfg: EngineConfig = DEFAULT_CONFIG, concurrency=(1, 8),
+) -> dict:
+    """Resumable run over RAW Common-Crawl WARC archives (sources/warc.py)
+    — the ingest the north star's parquet page table is derived from.
+    Partition unit = a contiguous slice of the archive list (archives are
+    independently parseable and retryable), fingerprinted per partition
+    like the parquet runner."""
+    from ..sources.warc import read_warc_pages
+
+    store = CheckpointStore(run_dir)
+    cfg_digest = hashlib.sha1(repr(cfg).encode()).hexdigest()[:8]
+    if os.path.isdir(warc_path):
+        files = sorted(
+            os.path.join(warc_path, f) for f in os.listdir(warc_path)
+            if ".warc" in f)
+    else:
+        files = [warc_path]
+    if not files:
+        raise ValueError(f"no warc files under {warc_path!r}")
+    nparts = min(nparts, len(files))
+    per = (len(files) + nparts - 1) // nparts
+    slices = [files[p * per:(p + 1) * per] for p in range(nparts)]
+
+    def fp_of(fs):
+        parts = [f"{f}:{os.path.getsize(f)}:{int(os.path.getmtime(f))}"
+                 for f in fs]
+        return hashlib.sha1(
+            ("|".join(parts) + ":" + cfg_digest).encode()).hexdigest()[:16]
+
+    fingerprint = fp_of(files)
+
+    def make_partition(p: int) -> rd.Dataset:
+        pages = read_warc_pages(slices[p])
+        return triples_stage(extract_stage(pages, cfg), cfg)
+
+    triples_dirs = run_partitioned_stage(
+        store, "triples", nparts, make_partition, fingerprint)
+    edges_dir = store.part_dir("edges", 0)
+    decisions_dir = store.part_dir("decisions", 0)
+    if not (store.is_committed("edges", 0)
+            and store.is_committed("decisions", 0)):
+        triples = rd.read_parquet(partition_files(triples_dirs))
+        out = _downstream(triples, cfg, concurrency)
+        run_partitioned_stage(store, "decisions", 1,
+                              lambda p: out["decisions"], fingerprint)
+        run_partitioned_stage(store, "edges", 1,
+                              lambda p: out["edges"], fingerprint)
+    return {"edges_dir": edges_dir, "decisions_dir": decisions_dir,
+            "triples_dirs": triples_dirs, "store": store}
+
+
 def run_checkpointed_kg_from_parquet(
     run_dir: str, pages_path: str, nparts: int = 8,
     cfg: EngineConfig = DEFAULT_CONFIG, concurrency=(1, 8),
