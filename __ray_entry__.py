@@ -407,6 +407,23 @@ def _q_extracted_text(sf_dir: str):
     return extract_stage(pages).select_columns(["url", "content"]).sort("url")
 
 
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 top-20 over documents for a fixed query (Robertson-Zaragoza
+    BM25, Lucene idf) - two combiner passes, no shuffle; SQL-oracle parity
+    (same tokenizer / idf / rounding / tie rules)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.search import bm25_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return bm25_topk(ds, "doc_id", "text", BM25_QUERY, k=20)
+
+
+BM25_QUERY = "data model training"
+
 def _q_ngram_jaccard(sf_dir: str):
     """Exact word-shingle Jaccard near-dup (lang-blocked), the exact
     member of the dedup family; SQL-expressible via DuckDB list kernels
@@ -857,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,    # rows-only (KLL sketch)
         "heavy_hitters": _q_heavy_hitters,          # rows-only (MG sketch)
         "cm_token_freq": _q_cm_token_freq,          # rows-only (CM sketch)
+        "bm25_topk": _q_bm25_topk,
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -911,6 +929,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "exact_dedup": SQL_EXACT_DEDUP,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "bm25_topk": __import__(
+            "entitydisambiguation_ray.pipelines.search",
+            fromlist=["bm25_oracle_sql"]).bm25_oracle_sql(
+                BM25_QUERY, k=20),
         "ann_topk": SQL_ANN_TOPK,
         # below-cap additions (driver records only the first 50 queries;
         # these are oracle-verified by pytest tests/test_round3b.py)
