@@ -408,6 +408,25 @@ def _q_extracted_text(sf_dir: str):
 
 
 
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (FFD per hash partition, Raffel et al. pack-and-
+    concatenate discipline): documents -> fixed-capacity training
+    sequences + the packing summary (rows-only; the greedy bin state is
+    not SQL-expressible; invariants pytest-verified in test_packing.py)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    packed = pack_sequences(ds, "doc_id", "text", seq_len=512, nparts=16)
+    return packing_stats(packed, seq_len=512)
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 top-20 over documents for a fixed query (Robertson-Zaragoza
     BM25, Lucene idf) - two combiner passes, no shuffle; SQL-oracle parity
@@ -875,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,          # rows-only (MG sketch)
         "cm_token_freq": _q_cm_token_freq,          # rows-only (CM sketch)
         "bm25_topk": _q_bm25_topk,
+        "pack_sequences": _q_pack_sequences,  # rows-only (greedy state)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
