@@ -1,13 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (PIL / torchaudio / pyav are not
-in this container): each stage tries the real library import in
-``__init__`` and otherwise uses a clearly-marked deterministic fake decoder
-(or raises ``NotImplementedError`` in ``strict`` mode).  Everything around
-the stub — the Arrow schema, the binary-payload block sizing, the actor
-signature, batched processing, the partitioned output layout — is real and
-tested, so swapping in a real decoder is a one-function change.
+Decode kernels, by honesty tier (round 4 closes the "all decoders are
+synthetic" gap for the formats that need NO external codec):
+
+- **REAL, dependency-free**: binary PPM (``P6`` — the public Netpbm
+  format, hand-parsed ~30 lines) and PCM WAV (stdlib ``wave``) decode to
+  actual pixel / sample arrays; the synthetic media corpus now emits real
+  containers of both so the full decode → resize/feature path executes in
+  CI on genuine bytes.
+- **gated**: JPEG/PNG via PIL, video via PyAV — import-probed per actor,
+  absent in this container.
+- **fake fallback**: unknown formats get the clearly-marked deterministic
+  byte-stretch decoder, or ``NotImplementedError`` in ``strict`` mode.
+  ``strict`` mode DOES decode PPM/WAV (no library needed).
 
 Scale notes: binary payloads are wide rows — stages use a SMALL
 ``batch_size`` (default 32) so batch × concurrency fits worker heaps, and
@@ -20,6 +26,74 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+# ------------------------------------------------------------ real codecs
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6), the Netpbm interchange format."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8.  Handles Netpbm whitespace and
+    ``#`` comments in the header; maxval ≤ 255 only (the 8-bit case)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            pos = nl + 1 if nl >= 0 else len(payload)
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    raster = payload[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) int16 → PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    s = np.asarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(ch)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → ((n_frames, channels) int16, sample_rate) — stdlib-only."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate = f.getframerate()
+        ch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    arr = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+    return arr, rate
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
@@ -37,25 +111,45 @@ MEDIA_BATCH_SIZE = 32  # binary payloads: keep batches small
 
 
 def synth_media_batch(indices) -> pa.Table:
-    """Deterministic synthetic media rows (payload = seeded pseudo-bytes
-    with a kind-specific magic header, like a real container format)."""
+    """Deterministic synthetic media rows.  Image and audio rows carry
+    REAL containers (binary PPM / PCM WAV — the codec-free formats), so
+    the decode kernels run on genuine bytes in CI; video rows keep a
+    clearly-fake container (no stdlib video codec exists)."""
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     kinds = ["image", "audio", "video"]
-    mimes = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
-    magic = {"image": b"IMGF", "audio": b"AUDF", "video": b"VIDF"}
+    mimes = {"image": "image/x-portable-pixmap", "audio": "audio/wav",
+             "video": "video/fake"}
     for i in indices:
         i = int(i)
         kind = kinds[i % 3]
         rng = np.random.Generator(np.random.PCG64((1 << 20) ^ i))
-        size = int(rng.integers(2_000, 20_000))
-        payload = magic[kind] + rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        if kind == "image":
+            h = int(rng.integers(12, 48))
+            w = int(rng.integers(12, 48))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = encode_ppm(img)
+            width, height, dur = w, h, 0.0
+        elif kind == "audio":
+            rate = 16000
+            n = int(rng.integers(800, 8000))
+            samples = rng.integers(-32768, 32768, n).astype(np.int16)
+            payload = encode_wav(samples, rate)
+            width = height = 0
+            dur = n / rate
+        else:
+            size = int(rng.integers(2_000, 20_000))
+            payload = b"VIDF" + rng.integers(0, 256, size,
+                                             dtype=np.uint8).tobytes()
+            width = int(rng.integers(64, 1024))
+            height = int(rng.integers(64, 1024))
+            dur = float(rng.uniform(1, 600))
         rows["media_id"].append(f"m{i:08d}")
         rows["kind"].append(kind)
         rows["mime"].append(mimes[kind])
         rows["payload"].append(payload)
-        rows["width"].append(int(rng.integers(64, 1024)) if kind != "audio" else 0)
-        rows["height"].append(int(rng.integers(64, 1024)) if kind != "audio" else 0)
-        rows["duration_s"].append(float(rng.uniform(1, 600)) if kind != "image" else 0.0)
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_s"].append(float(dur))
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
@@ -72,28 +166,35 @@ class ImageFeatureStage:
     """Actor-pool stage: decode → resize → feature-extract for images.
 
     ``__init__`` runs once per actor: real-decoder import probe + any model
-    load.  ``strict=True`` raises NotImplementedError instead of using the
-    fake decoder (production posture when the lib is genuinely required)."""
+    load.  Decode dispatch per payload: binary PPM decodes for REAL with
+    no dependency; other formats go to PIL when importable; otherwise the
+    deterministic fake decoder — or, with ``strict=True``,
+    ``NotImplementedError`` at decode time (PPM still decodes in strict
+    mode; only genuinely undecodable payloads refuse)."""
 
     def __init__(self, strict: bool = False, resize_to: int = 16):
         self.resize_to = resize_to
+        self.strict = strict
         try:  # pragma: no cover - PIL absent in this container
             from PIL import Image  # type: ignore
 
             self._pil = Image
         except ImportError:
             self._pil = None
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL, which is not available in "
-                    "this environment; run with strict=False to use the "
-                    "deterministic fake decoder")
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)  # real, dependency-free
         if self._pil is not None:  # pragma: no cover
             import io
 
             return np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        if self.strict:
+            raise NotImplementedError(
+                "image decode for this format requires PIL, which is not "
+                "available in this environment; PPM (P6) decodes natively, "
+                "or run with strict=False for the deterministic fake "
+                "decoder")
         return _fake_decode_image(payload, width, height)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
@@ -120,6 +221,67 @@ class ImageFeatureStage:
             "feature": pa.FixedSizeListArray.from_arrays(
                 pa.array(np.concatenate(feats), pa.float32()), FEATURE_DIM),
             "mean_intensity": pa.array(means, pa.float64()),
+        })
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: REAL audio features from PCM WAV payloads
+    (stdlib decode, numpy DSP — nothing stubbed on this path): duration,
+    RMS level, zero-crossing rate, and an 8-band FFT energy-fraction
+    vector (the cheap screening features audio corpus filters run).
+    Non-WAV payloads raise in ``strict`` mode, else emit null features."""
+
+    N_BANDS = 8
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _features(self, payload: bytes):
+        arr, rate = decode_wav(payload)
+        x = arr.astype(np.float64).mean(axis=1)  # downmix
+        n = len(x)
+        dur = n / rate
+        rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
+        zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) \
+            if n > 1 else 0.0
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        edges = np.linspace(0, len(spec), self.N_BANDS + 1, dtype=int)
+        bands = np.array([spec[a:b].sum() for a, b in
+                          zip(edges[:-1], edges[1:])])
+        total = bands.sum()
+        frac = (bands / total if total > 0
+                else np.zeros(self.N_BANDS))
+        return dur, rms, zcr, frac.astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, durs, rmss, zcrs, bands = [], [], [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            if p[:4] != b"RIFF":
+                if self.strict:
+                    raise NotImplementedError(
+                        "audio decode beyond PCM WAV requires an audio "
+                        "library not available here")
+                ids.append(mid)
+                durs.append(None)
+                rmss.append(None)
+                zcrs.append(None)
+                bands.append(np.zeros(self.N_BANDS, dtype=np.float32))
+                continue
+            dur, rms, zcr, frac = self._features(p)
+            ids.append(mid)
+            durs.append(dur)
+            rmss.append(rms)
+            zcrs.append(zcr)
+            bands.append(frac)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rmss, pa.float64()),
+            "zero_crossing_rate": pa.array(zcrs, pa.float64()),
+            "band_energy": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(bands), pa.float32()),
+                self.N_BANDS),
         })
 
 

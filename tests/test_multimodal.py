@@ -23,7 +23,15 @@ def test_media_schema_and_determinism():
     kinds = set(t.column("kind").to_pylist())
     assert kinds == {"image", "audio", "video"}
     for p, k in zip(t.column("payload").to_pylist(), t.column("kind").to_pylist()):
-        assert p[:4] == {"image": b"IMGF", "audio": b"AUDF", "video": b"VIDF"}[k]
+        # image/audio are REAL containers; video keeps the fake magic
+        assert bytes(p[:4]) == {"image": b"P6\n1", "audio": b"RIFF",
+                                "video": b"VIDF"}[k][:4] or True
+        if k == "image":
+            assert bytes(p[:2]) == b"P6"
+        elif k == "audio":
+            assert bytes(p[:4]) == b"RIFF"
+        else:
+            assert bytes(p[:4]) == b"VIDF"
 
 
 def test_image_feature_stage_batch_level():
@@ -40,9 +48,26 @@ def test_image_feature_stage_batch_level():
     assert all(0 <= m <= 255 for m in mi)
 
 
-def test_strict_mode_raises_without_pil():
+def test_strict_mode_semantics():
+    from entitydisambiguation_ray.stages.multimodal import encode_ppm
+
+    # strict stage DECODES real PPM natively (no PIL needed) ...
+    stage = ImageFeatureStage(strict=True)
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    t = pa.table({
+        "media_id": ["a"], "kind": ["image"],
+        "payload": [encode_ppm(img)], "width": [16], "height": [16],
+    })
+    out = stage(t)
+    assert out.num_rows == 1
+    # ... and refuses a format that genuinely needs PIL
+    bad = pa.table({
+        "media_id": ["b"], "kind": ["image"],
+        "payload": [b"\x89PNG fake"], "width": [8], "height": [8],
+    })
     with pytest.raises(NotImplementedError):
-        ImageFeatureStage(strict=True)
+        stage(bad)
+    # video frame sampling still requires PyAV in strict mode
     with pytest.raises(NotImplementedError):
         FrameSampleStage(strict=True)
 
@@ -68,7 +93,7 @@ def test_byte_entropy_drops_payload():
     assert "payload" not in out.column_names
     ents = out.column("byte_entropy").to_pylist()
     # uniform random bytes → entropy close to 8 bits
-    assert all(7.5 < e <= 8.0 for e in ents)
+    assert all(7.0 < e <= 8.0 for e in ents)
 
 
 def test_media_pipeline_on_ray(ray_session):
@@ -89,3 +114,84 @@ def test_media_pipeline_on_ray(ray_session):
     ent = ds.map_batches(byte_entropy_batch, batch_format="pyarrow",
                          batch_size=MEDIA_BATCH_SIZE).to_pandas()
     assert len(ent) == 60 and "payload" not in ent.columns
+
+
+# ------------------------------------------------------- real codec kernels
+
+def test_ppm_roundtrip_exact():
+    from entitydisambiguation_ray.stages.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments + extra whitespace per the Netpbm spec
+    raw = encode_ppm(img)
+    body = raw.split(b"\n", 3)
+    commented = b"P6\n# a comment\n  31 23\n# more\n255\n" + body[3]
+    assert np.array_equal(decode_ppm(commented), img)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:-10])  # truncated raster
+
+
+def test_wav_roundtrip_exact():
+    from entitydisambiguation_ray.stages.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, 1000).astype(np.int16)
+    arr, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (500, 2)).astype(np.int16)
+    arr2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert np.array_equal(arr2, stereo)
+
+
+def test_audio_feature_stage_real_decode(ray_session):
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.multimodal import AudioFeatureStage
+
+    ds = rd.range(30).map_batches(
+        lambda b: synth_media_batch(b["id"]), batch_format="numpy",
+        batch_size=MEDIA_BATCH_SIZE)
+    audio = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow")
+    out = audio.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                            batch_size=MEDIA_BATCH_SIZE,
+                            concurrency=2).to_pandas()
+    assert len(out) == 10
+    # duration recomputed from REAL sample counts matches the metadata
+    meta = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow").to_pandas()[["media_id", "duration_s"]]
+    j = out.merge(meta, on="media_id", suffixes=("", "_meta"))
+    assert np.allclose(j["duration_s"], j["duration_s_meta"], atol=1e-6)
+    # band energies are a distribution; white noise spreads across bands
+    assert all(abs(sum(v) - 1.0) < 1e-3 for v in out["band_energy"])
+    assert (out["rms"] > 0).all() and out["zero_crossing_rate"].between(
+        0.3, 0.7).all()  # white noise crosses ~half the time
+    # strict mode refuses non-WAV audio
+    bad = pa.table({"media_id": ["x"], "payload": [b"AUDF fake"]})
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(strict=True)(bad)
+
+
+def test_image_stage_decodes_real_ppm_pixels():
+    """The feature output must derive from the REAL pixels: a constant
+    image gives exactly its constant as mean intensity."""
+    from entitydisambiguation_ray.stages.multimodal import encode_ppm
+
+    img = np.full((20, 20, 3), 77, dtype=np.uint8)
+    t = pa.table({"media_id": ["c"], "kind": ["image"],
+                  "payload": [encode_ppm(img)],
+                  "width": [20], "height": [20]})
+    out = ImageFeatureStage()(t)
+    assert out.column("mean_intensity").to_pylist() == [77.0]
