@@ -735,9 +735,36 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_by(ds, "l_returnflag", "l_partkey")
 
 
+
+def _q_audio_features(sf_dir: str):
+    """REAL audio DSP features from PCM WAV payloads (stdlib decode +
+    numpy FFT — nothing stubbed on this path): duration / RMS /
+    zero-crossing rate / 8-band energy fractions per clip (rows-only;
+    duration cross-checked against sample counts in test_multimodal)."""
+    _quiet()
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from entitydisambiguation_ray.stages.multimodal import (
+        MEDIA_BATCH_SIZE,
+        AudioFeatureStage,
+        synth_media_batch,
+    )
+
+    ds = rd.range(300).map_batches(
+        lambda b: synth_media_batch(b["id"]), batch_format="numpy",
+        batch_size=MEDIA_BATCH_SIZE)
+    audio = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow")
+    out = audio.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                            batch_size=MEDIA_BATCH_SIZE, concurrency=2)
+    return out.sort("media_id")
+
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media corpus → image feature stage
-    (decode stubbed deterministically — stages/multimodal.py)."""
+    """Multimodal: synthetic media corpus → image feature stage (REAL
+    dependency-free PPM decode as of round 4; PIL formats gated —
+    stages/multimodal.py)."""
     _quiet()
     import pyarrow.compute as pc
     import ray.data as rd
@@ -897,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,  # rows-only (greedy state)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,  # rows-only (real WAV DSP)
         "media_frames": _q_media_frames,
     }
 
