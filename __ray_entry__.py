@@ -427,6 +427,32 @@ def _q_pack_sequences(sf_dir: str):
     packed = pack_sequences(ds, "doc_id", "text", seq_len=512, nparts=16)
     return packing_stats(packed, seq_len=512)
 
+
+# fixed engine-authored eval items (benchmark-style snippets over the
+# synthetic corpus vocabulary — some collide with documents, one cannot)
+DECON_EVAL = [
+    "key agg row scan slow fast table value",
+    "batch window spark order data column agg join",
+    "small fast slow filter value small value table",
+    "completely novel benchmark item sharing nothing at all",
+]
+
+
+def _q_decontaminate(sf_dir: str):
+    """Eval-set decontamination (GPT-3 SC / Pile appendix-C n-gram
+    collision rule): flag documents sharing word 3-grams with a fixed
+    benchmark set - eval grams broadcast once, one embarrassingly
+    parallel pass, no shuffle; SQL-oracle parity."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import decontaminate_flags
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return decontaminate_flags(ds, "doc_id", "text", DECON_EVAL,
+                               n=3).sort("doc_id")
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 top-20 over documents for a fixed query (Robertson-Zaragoza
     BM25, Lucene idf) - two combiner passes, no shuffle; SQL-oracle parity
@@ -921,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,          # rows-only (MG sketch)
         "cm_token_freq": _q_cm_token_freq,          # rows-only (CM sketch)
         "bm25_topk": _q_bm25_topk,
+        "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,  # rows-only (greedy state)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,
@@ -977,6 +1004,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "exact_dedup": SQL_EXACT_DEDUP,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "decontaminate": __import__(
+            "entitydisambiguation_ray.pipelines.dedup",
+            fromlist=["decontaminate_oracle_sql"]).decontaminate_oracle_sql(
+                DECON_EVAL, n=3),
         "bm25_topk": __import__(
             "entitydisambiguation_ray.pipelines.search",
             fromlist=["bm25_oracle_sql"]).bm25_oracle_sql(

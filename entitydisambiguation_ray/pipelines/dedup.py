@@ -935,3 +935,92 @@ def prefix_jaccard_pairs(
     # co-locate and global distinctness is enforced there
     return _verify_pairs_join(cand, ds, id_col, text_col, threshold,
                               nparts=nparts, ngram_n=n)
+
+
+def decontaminate_flags(
+    ds: rd.Dataset, id_col: str, text_col: str, eval_texts: list[str],
+    *, n: int = 3, min_hits: int = 1,
+) -> rd.Dataset:
+    """Eval-set decontamination: flag corpus documents sharing word
+    n-grams with a benchmark set (the GPT-3 §C / Pile appendix-C
+    collision rule that guards train/test separation).
+
+    The eval side is SMALL by definition (benchmarks are thousands of
+    items) — its distinct n-gram set is built once on the driver and
+    broadcast via ``ray.put`` (fetched once per worker, the
+    ``_fetch_bcast``-style discipline); the corpus side is one
+    embarrassingly-parallel pass: per batch, per-doc DISTINCT n-grams →
+    membership count against the eval set → (id, n_hits) for documents
+    with ``n_hits ≥ min_hits``.  No shuffle anywhere; 10^12 docs stream.
+
+    Tokenization matches the SQL oracle byte-for-byte (the family rule:
+    ``lower().split(' ')`` with empty tokens kept; docs or eval items
+    with fewer than ``n`` tokens contribute no n-grams)."""
+    import ray as _ray
+
+    def grams_of(text: str) -> set:
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_set: set = set()
+    for t in eval_texts:
+        eval_set |= grams_of(t)
+    if not eval_set:
+        raise ValueError("eval set yields no n-grams (all items shorter "
+                         f"than n={n} tokens?)")
+    ref = _ray.put(eval_set)
+
+    def flag_batch(batch: pa.Table, *, ref=ref) -> pa.Table:
+        from .ann import _fetch_bcast
+
+        es = _fetch_bcast(ref)
+        ids, hits = [], []
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            g = grams_of(text)
+            if not g:
+                continue
+            k = len(g & es)
+            if k >= min_hits:
+                ids.append(did)
+                hits.append(k)
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "n_hits": pa.array(hits, pa.int64()),
+        })
+
+    return ds.map_batches(flag_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def decontaminate_oracle_sql(eval_texts: list[str], n: int = 3,
+                             min_hits: int = 1, id_col: str = "doc_id",
+                             table: str = "documents",
+                             text_col: str = "text") -> str:
+    """DuckDB SQL computing the identical contamination flags (same
+    tokenizer / distinct-gram semantics)."""
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in eval_texts)
+    return f"""
+WITH ev(text) AS (VALUES {vals}),
+ev_toks AS (SELECT string_split(lower(text), ' ') AS tk FROM ev),
+ev_grams AS (
+  SELECT DISTINCT array_to_string(tk[i:i+{n}-1], ' ') AS g
+  FROM ev_toks, unnest(range(1, len(tk) - {n} + 2)) AS r(i)
+  WHERE len(tk) >= {n}
+),
+doc_toks AS (
+  SELECT {id_col}, string_split(lower({text_col}), ' ') AS tk FROM {table}
+),
+doc_grams AS (
+  SELECT DISTINCT {id_col}, array_to_string(tk[i:i+{n}-1], ' ') AS g
+  FROM doc_toks, unnest(range(1, len(tk) - {n} + 2)) AS r(i)
+  WHERE len(tk) >= {n}
+)
+SELECT d.{id_col}, CAST(count(*) AS BIGINT) AS n_hits
+FROM doc_grams d JOIN ev_grams e USING (g)
+GROUP BY d.{id_col}
+HAVING count(*) >= {min_hits}
+ORDER BY d.{id_col}
+"""

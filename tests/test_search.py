@@ -91,3 +91,44 @@ def test_bm25_batch_split_invariance(ray_session):
     many = bm25_topk(rd.from_items(items).repartition(37),
                      "doc_id", "text", "data training", k=12)
     pd.testing.assert_frame_equal(one, many)
+
+
+# ---------------------------------------------------------------------------
+# decontamination (pipelines/dedup.decontaminate_flags)
+# ---------------------------------------------------------------------------
+def test_decontaminate_planted_and_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import (
+        decontaminate_flags,
+        decontaminate_oracle_sql,
+    )
+
+    items = [
+        {"doc_id": "clean1", "text": "alpha beta gamma delta"},
+        {"doc_id": "dirty1", "text": "the exam question is two plus two"},
+        {"doc_id": "dirty2",
+         "text": "prefix words exam question is two more text"},
+        {"doc_id": "short", "text": "xy"},
+        {"doc_id": "clean2", "text": "question is here but not enough"},
+    ]
+    ev = ["exam question is two plus two", "zz yy xx"]
+    ds = rd.from_items(items)
+    got = (decontaminate_flags(ds, "doc_id", "text", ev, n=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == ["dirty1", "dirty2"]
+    # dirty1 contains all 4 eval 3-grams, dirty2 exactly 2
+    assert got["n_hits"].tolist() == [4, 2]
+    # SQL oracle agreement on the same corpus
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES " + ", ".join(
+        f"('{i['doc_id']}', '{i['text']}')" for i in items)
+        + ") t(doc_id, text)")
+    o = con.sql(decontaminate_oracle_sql(ev, n=3)).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, o[list(got.columns)])
+    # an eval set of only-too-short items must refuse loudly
+    with pytest.raises(ValueError):
+        decontaminate_flags(ds, "doc_id", "text", ["a b"], n=3)
