@@ -573,7 +573,20 @@ def _q_minhash_pairs(sf_dir: str):
     # corpus provably fits (file size known here, cheap stat); the join
     # verify is the beyond-broadcast scale path and stays the operator
     # default.  Equivalence of the two paths is pytest-verified.
-    verify = "broadcast" if os.path.getsize(path) < (256 << 20) else "join"
+    # NB: the path may be a directory of parquet parts (valid for
+    # read_parquet) — getsize on a dir returns the tiny inode size, which
+    # would silently pick the driver-collecting broadcast path for an
+    # arbitrarily large corpus.  Sum the parts; unknown shapes fall back to
+    # the fully-distributed join verify.
+    if os.path.isfile(path):
+        corpus_bytes = os.path.getsize(path)
+    elif os.path.isdir(path):
+        corpus_bytes = sum(e.stat().st_size for e in os.scandir(path)
+                           if e.is_file())
+    else:
+        corpus_bytes = None
+    verify = ("broadcast" if corpus_bytes is not None
+              and corpus_bytes < (256 << 20) else "join")
     out = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.5,
                             verify=verify)
     return out.sort(["id_a", "id_b"])

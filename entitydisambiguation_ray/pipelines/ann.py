@@ -53,16 +53,22 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 _BCAST_CACHE: dict[str, object] = {}
+_BCAST_CACHE_MAX = 4  # shared by topk/kmeans/decontaminate — keep a few
+                      # live refs so interleaved queries don't thrash
 
 
 def _fetch_bcast(ref):
     """Fetch a ``ray.put`` broadcast once per worker process, memoized by
     object-ref id (the warm-task pattern: no actor pool is spawned per run,
-    and repeat runs over the same ref pay zero re-fetch)."""
+    and repeat runs over the same ref pay zero re-fetch).  Bounded LRU-ish
+    (insertion order) so two live broadcasts alternating in one worker —
+    concurrent queries, the overlap checkpoint runner — don't evict each
+    other on every batch."""
     key = ref.hex()
     v = _BCAST_CACHE.get(key)
     if v is None:
-        _BCAST_CACHE.clear()  # previous runs' broadcasts are dead
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         v = ray.get(ref)
         _BCAST_CACHE[key] = v
     return v

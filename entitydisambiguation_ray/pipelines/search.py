@@ -98,14 +98,16 @@ def bm25_topk(
         # docs matching NO query term are not candidates (the oracle's tf
         # join semantics); any match gives score > 0 (idf = ln(1+x) > 0)
         cand = np.flatnonzero(score > 0)
-        kk = min(k, len(cand))
-        if kk < len(cand):
-            top = cand[np.argpartition(-score[cand], kk - 1)[:kk]]
-        else:
-            top = cand
+        # The partial top-k MUST use the FINAL comparator — (score rounded
+        # half-away to 6dp DESC, id ASC) — or ties/near-ties that round
+        # equal straddling the batch-k boundary drop ids the global oracle
+        # ranking would keep (e.g. >k identical docs in one batch).
+        cand_ids = ids.to_numpy()[cand]
+        cand_rounded = _round_half_away(score[cand], 6)
+        order = np.lexsort((cand_ids, -cand_rounded))[: min(k, len(cand))]
         return pa.table({
-            id_col: pa.array(ids.to_numpy()[top]),
-            "score": pa.array(score[top], pa.float64()),
+            id_col: pa.array(cand_ids[order]),
+            "score": pa.array(cand_rounded[order], pa.float64()),
         })
 
     partials = ds.map_batches(score_partial, batch_format="pyarrow",

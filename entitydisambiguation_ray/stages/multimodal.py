@@ -280,7 +280,9 @@ class AudioFeatureStage:
             "rms": pa.array(rmss, pa.float64()),
             "zero_crossing_rate": pa.array(zcrs, pa.float64()),
             "band_energy": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(bands), pa.float32()),
+                pa.array(np.concatenate(bands)
+                         if bands else np.empty(0, np.float32),
+                         pa.float32()),
                 self.N_BANDS),
         })
 

@@ -184,6 +184,19 @@ def test_audio_feature_stage_real_decode(ray_session):
         AudioFeatureStage(strict=True)(bad)
 
 
+def test_audio_feature_stage_empty_batch():
+    """Zero-row batch must yield a correctly-typed empty table, not crash
+    in np.concatenate (ADVICE r4: future Ray versions may pass empties)."""
+    from entitydisambiguation_ray.stages.multimodal import AudioFeatureStage
+
+    empty = pa.table({"media_id": pa.array([], pa.string()),
+                      "payload": pa.array([], pa.binary())})
+    out = AudioFeatureStage()(empty)
+    assert out.num_rows == 0
+    assert out.column("band_energy").type == pa.list_(
+        pa.float32(), AudioFeatureStage.N_BANDS)
+
+
 def test_image_stage_decodes_real_ppm_pixels():
     """The feature output must derive from the REAL pixels: a constant
     image gives exactly its constant as mean intensity."""

@@ -93,6 +93,27 @@ def test_bm25_batch_split_invariance(ray_session):
     pd.testing.assert_frame_equal(one, many)
 
 
+def test_bm25_tied_scores_break_by_id(ray_session):
+    """>k identical docs in ONE batch: the per-batch partial top-k must
+    select by the final comparator (rounded score DESC, id ASC), keeping
+    the id-smallest tied docs the SQL oracle ranks first (ADVICE r4)."""
+    import duckdb
+    import ray.data as rd
+
+    items = [{"doc_id": f"d{i:03d}", "text": "data model training extra"}
+             for i in range(30)]
+    ds = rd.from_items(items).repartition(1)
+    got = bm25_topk(ds, "doc_id", "text", "data model", k=5)
+    assert got["doc_id"].tolist() == [f"d{i:03d}" for i in range(5)]
+
+    con = duckdb.connect()
+    con.register("docs_df", pd.DataFrame(items))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_df")
+    ref = con.sql(bm25_oracle_sql("data model", k=5)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # decontamination (pipelines/dedup.decontaminate_flags)
 # ---------------------------------------------------------------------------
