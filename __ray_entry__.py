@@ -884,8 +884,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": R.json_extract,
         "tumbling_window": R.tumbling_window,
         "session_window": R.session_window,
-        "semi_join": R.semi_join,
-        "anti_join": R.anti_join,
+        # bm25 / decontaminate: frame-exact DuckDB oracles — promoted into
+        # the driver's 50-entry cap in round 5, displacing the redundant
+        # semi_join / anti_join duplicates (their _shuffle twins above
+        # exercise the same operators and stay green)
+        "bm25_topk": _q_bm25_topk,
+        "decontaminate": _q_decontaminate,
         "count_distinct": R.count_distinct,
         "price_quantiles": R.price_quantiles,
         "dataset_split": R.dataset_split,
@@ -926,6 +930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checkable additions whose oracle parity is proven by pytest
         # (tests/test_round3b.py runs the same DuckDB SQL the driver
         # would) — kept below the cap so no kg-family entry is displaced:
+        "semi_join": R.semi_join,   # broadcast twin of semi_join_shuffle
+        "anti_join": R.anti_join,   # broadcast twin of anti_join_shuffle
         "multi_join_chain": R.multi_join_chain,
         "pivot_counts": R.pivot_counts,
         "moving_average": R.moving_average,
@@ -959,8 +965,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,    # rows-only (KLL sketch)
         "heavy_hitters": _q_heavy_hitters,          # rows-only (MG sketch)
         "cm_token_freq": _q_cm_token_freq,          # rows-only (CM sketch)
-        "bm25_topk": _q_bm25_topk,
-        "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,  # rows-only (greedy state)
         # multimodal plumbing (rows-only; decode stubbed, see module doc)
         "media_features": _q_media_features,

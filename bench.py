@@ -71,8 +71,20 @@ def run_bench() -> dict:
 
     import statistics
 
+    # One UNTIMED warmup execution per query before the timed repeats:
+    # r4's kg runs were [8.52, 4.03, 6.98] — the first (cold actor/stage
+    # state specific to that query's code path, beyond the generic package
+    # warmup above) drags the median away from steady state, which is what
+    # the baseline bar compares.  Scaling legs (repeats=1) skip it: they
+    # run 400k pages once per leg and cancel common-mode noise in the
+    # back-to-back ratio instead.
+    warmup = int(os.environ.get("GRAFT_BENCH_WARMUP",
+                                "1" if repeats > 1 else "0"))
+
     def timed(name: str, fn) -> object:
         res = None
+        for _ in range(max(0, warmup)):
+            fn()
         samples = []
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()
