@@ -616,6 +616,21 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup(ds, "doc_id", "text", threshold=0.5).sort("doc_id")
 
 
+def _q_prefix_jaccard_dedup(sf_dir: str):
+    """EXACT open-domain near-dup collapse: prefix-filtered exact-Jaccard
+    pairs → size-adaptive components → (doc_id, canonical_id) (rows-only;
+    planted-cluster pytest vs brute-force driver union-find)."""
+    _quiet()
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import prefix_jaccard_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return prefix_jaccard_dedup(ds, "doc_id", "text",
+                                threshold=0.8, n=1).sort("doc_id")
+
+
 def _q_embedding_neardup(sf_dir: str):
     _quiet()
     import ray.data as rd
@@ -925,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,          # rows-only
         "simhash_pairs": _q_simhash_pairs,          # rows-only
         "minhash_dedup": _q_minhash_dedup,          # rows-only (components)
+        "prefix_jaccard_dedup": _q_prefix_jaccard_dedup,  # rows-only
         "ann_lsh": _q_ann_lsh,                      # rows-only (approximate)
         # --- beyond the 50-entry cap ------------------------------------
         # SQL-checkable additions whose oracle parity is proven by pytest

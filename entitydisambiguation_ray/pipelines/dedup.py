@@ -773,23 +773,13 @@ def embedding_neardup_lsh(
                        "pair_key", nparts=8).drop_columns(["pair_key"])
 
 
-def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
-                  *, threshold: float = 0.5, nparts: int = 16) -> rd.Dataset:
-    """End-to-end near-duplicate COLLAPSE: MinHash+LSH verified pairs →
-    transitive closure (``state.unionfind.distributed_components``, fully
-    Dataset-resident) → (doc_id, canonical_id) mapping for every doc in a
-    near-dup cluster (canonical = smallest member id).  Docs not returned
-    are singletons (their canonical is themselves) — emitting only cluster
-    members keeps the output near-dup-mass-sized, not corpus-sized."""
+def _pairs_to_canonical(pairs: rd.Dataset, int_ids: bool,
+                        components_fn) -> rd.Dataset:
+    """Shared tail of the near-dup COLLAPSE operators: (id_a, id_b) pair
+    Dataset → transitive closure via ``components_fn`` (a callable over an
+    (a, b) string-edges Dataset) → (doc_id, canonical_id) mapping for
+    every doc in a cluster (canonical = smallest member id)."""
     import pyarrow.compute as pc2
-
-    from ..stages.join import _arrow_types
-    from ..state.unionfind import distributed_components
-
-    idt = _arrow_types(ds.select_columns([id_col]))[id_col]
-    int_ids = pa.types.is_integer(idt)
-
-    pairs = minhash_lsh_pairs(ds, id_col, text_col, threshold=threshold)
 
     def as_edges(batch: pa.Table) -> pa.Table:
         # union-find nodes are strings (min-label order is lexicographic);
@@ -801,8 +791,8 @@ def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
                 mn = pc2.min(batch.column(col)).as_py()
                 if mn is not None and mn < 0:
                     raise ValueError(
-                        "minhash_dedup requires non-negative integer ids "
-                        f"(found {mn})")
+                        "near-dup collapse requires non-negative integer "
+                        f"ids (found {mn})")
         a = pc2.cast(batch.column("id_a"), pa.string())
         b = pc2.cast(batch.column("id_b"), pa.string())
         if int_ids:
@@ -812,7 +802,7 @@ def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
 
     edges = pairs.map_batches(as_edges, batch_format="pyarrow",
                               zero_copy_batch=True)
-    comps = distributed_components(edges, nparts=nparts)
+    comps = components_fn(edges)
 
     def unpad(batch: pa.Table) -> pa.Table:
         node, canon = batch.column("node"), batch.column("canonical")
@@ -823,6 +813,53 @@ def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
 
     return comps.map_batches(unpad, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def minhash_dedup(ds: rd.Dataset, id_col: str, text_col: str,
+                  *, threshold: float = 0.5, nparts: int = 16) -> rd.Dataset:
+    """End-to-end near-duplicate COLLAPSE: MinHash+LSH verified pairs →
+    transitive closure (``state.unionfind.distributed_components``, fully
+    Dataset-resident) → (doc_id, canonical_id) mapping for every doc in a
+    near-dup cluster (canonical = smallest member id).  Docs not returned
+    are singletons (their canonical is themselves) — emitting only cluster
+    members keeps the output near-dup-mass-sized, not corpus-sized."""
+    from ..stages.join import _arrow_types
+    from ..state.unionfind import distributed_components
+
+    idt = _arrow_types(ds.select_columns([id_col]))[id_col]
+    int_ids = pa.types.is_integer(idt)
+    pairs = minhash_lsh_pairs(ds, id_col, text_col, threshold=threshold)
+    return _pairs_to_canonical(
+        pairs, int_ids, lambda e: distributed_components(e, nparts=nparts))
+
+
+def prefix_jaccard_dedup(
+    ds: rd.Dataset, id_col: str, text_col: str,
+    *, threshold: float = 0.7, n: int = 1,
+    bucket_cap: int = 2000, nparts: int = 16,
+) -> rd.Dataset:
+    """EXACT near-duplicate COLLAPSE — the exact-open-domain sibling of
+    ``minhash_dedup``: ``prefix_jaccard_pairs`` (exact Jaccard ≥ threshold
+    over word-n-gram shingles, no blocking key, distributed prefix filter)
+    → size-adaptive transitive closure (``state.unionfind.components_auto``:
+    bounded edge lists driver-solved, beyond-bound Dataset-resident —
+    identical mapping both ways) → (doc_id, canonical_id) for every doc in
+    a cluster (canonical = smallest member id; singletons omitted).
+
+    Edge graphs here are cluster-mass-sized (pairs already passed the
+    exact verify), which is exactly components_auto's sweet spot."""
+    from ..stages.join import _arrow_types
+    from ..state.unionfind import components_auto
+
+    idt = _arrow_types(ds.select_columns([id_col]))[id_col]
+    int_ids = pa.types.is_integer(idt)
+    pairs = prefix_jaccard_pairs(
+        ds, id_col, text_col, threshold=threshold, n=n,
+        bucket_cap=bucket_cap, nparts=nparts
+    ).select_columns(["id_a", "id_b"])
+    return _pairs_to_canonical(
+        pairs, int_ids, lambda e: components_auto(
+            e.materialize(), nparts=nparts))
 
 
 def prefix_jaccard_pairs(

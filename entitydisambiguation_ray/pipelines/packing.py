@@ -34,6 +34,65 @@ import ray.data as rd
 from ..stages.partition import partitioned_groupby
 
 
+def _pack_ffd(sizes: np.ndarray, seq_len: int) -> np.ndarray:
+    """Exact first-fit bin assignment over sizes (already sorted desc by
+    the caller): each doc goes to the LOWEST-INDEXED open bin with enough
+    remaining capacity, else opens a new bin; oversized docs get a
+    dedicated bin.
+
+    A max-segment-tree over bin remaining-capacities (leaves in bin
+    creation order) answers "leftmost bin with capacity >= s" in O(log B),
+    replacing the round-4 per-doc Python scan over all open bins —
+    O(n·B) ≈ 10^9 comparisons at the 100k-rows/partition contract —
+    with O(n log n), byte-identical assignment (equivalence pytest)."""
+    n = len(sizes)
+    assign = np.empty(n, dtype=np.int64)
+    cap = 1
+    while cap < max(n, 1):
+        cap <<= 1
+    tree = [0] * (2 * cap)  # plain list: scalar index ops beat numpy here
+    nbins = 0
+
+    def set_leaf(i: int, v: int) -> None:
+        j = cap + i
+        tree[j] = v
+        j >>= 1
+        while j:
+            left = tree[2 * j]
+            right = tree[2 * j + 1]
+            tree[j] = left if left >= right else right
+            j >>= 1
+
+    for i in range(n):
+        s = int(sizes[i])
+        if s > seq_len:              # oversized: dedicated sequence
+            assign[i] = nbins
+            nbins += 1               # leaf stays 0 (never fits anything)
+            continue
+        if s == 0:                   # fits the first bin regardless
+            if nbins == 0:
+                assign[i] = 0
+                set_leaf(0, seq_len)
+                nbins = 1
+            else:
+                assign[i] = 0
+            continue
+        if tree[1] >= s:
+            j = 1                    # descend to the LEFTMOST fitting leaf
+            while j < cap:
+                j <<= 1
+                if tree[j] < s:
+                    j += 1
+            bi = j - cap
+            assign[i] = bi
+            set_leaf(bi, tree[j] - s)
+        else:
+            assign[i] = nbins
+            set_leaf(nbins, seq_len - s)
+            nbins += 1
+    return assign
+
+
 def pack_sequences(
     ds: rd.Dataset, id_col: str, text_col: str,
     *, seq_len: int = 2048, nparts: int = 32,
@@ -65,25 +124,8 @@ def pack_sequences(
         df = df.sort_values(["n_tokens", id_col], ascending=[False, True],
                             kind="mergesort").reset_index(drop=True)
         sizes = df["n_tokens"].to_numpy(dtype=np.int64)
-        bins: list[int] = []          # remaining capacity per bin
-        assign = np.empty(len(df), dtype=np.int64)
         truncated = sizes > seq_len
-        for i, s in enumerate(sizes):
-            if s > seq_len:           # oversized: dedicated sequence
-                assign[i] = len(bins)
-                bins.append(0)
-                continue
-            # first-fit over open bins (bounded: bins with capacity < the
-            # smallest remaining doc could be closed; the simple scan is
-            # fine — bin count per partition is rows/avg_fill)
-            for bi in range(len(bins)):
-                if bins[bi] >= s:
-                    assign[i] = bi
-                    bins[bi] -= s
-                    break
-            else:
-                assign[i] = len(bins)
-                bins.append(seq_len - s)
+        assign = _pack_ffd(sizes, seq_len)
         return pd.DataFrame({
             "seq_id": [f"{part:05d}-{b:07d}" for b in assign],
             id_col: df[id_col].to_numpy(),

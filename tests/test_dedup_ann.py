@@ -219,6 +219,55 @@ def test_minhash_dedup_components(ray_session):
     assert out["doc_id"].dtype == "int64"
 
 
+def test_prefix_jaccard_dedup_components(ray_session):
+    """Exact-open-domain collapse (prefix_jaccard_pairs → components_auto):
+    planted near-identical clusters collapse to their smallest member and
+    the mapping equals a brute-force driver union-find over brute-force
+    exact-Jaccard pairs."""
+    import itertools
+
+    import ray.data as rd
+
+    from entitydisambiguation_ray.pipelines.dedup import (
+        prefix_jaccard_dedup,
+    )
+    from entitydisambiguation_ray.stages.dedup import word_ngrams
+    from entitydisambiguation_ray.state.unionfind import driver_components
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(5):                       # cluster A: tiny edits
+        txt = " ".join(words[: 18 - (i % 2)])
+        rows.append({"doc_id": i, "text": txt})
+    for i in range(5, 8):                    # cluster B: digits vocab
+        txt = " ".join(str(x) for x in range(30 + (i % 2)))
+        rows.append({"doc_id": i, "text": txt})
+    for i in range(8, 16):                   # singletons
+        rows.append({"doc_id": i, "text": f"unique{i} " * 20 + f"tail{i}"})
+    out = prefix_jaccard_dedup(rd.from_items(rows), "doc_id", "text",
+                               threshold=0.8, n=1, nparts=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["canonical_id"]))
+
+    # brute-force oracle: exact jaccard over all pairs -> driver UF
+    shingles = {r["doc_id"]: word_ngrams(r["text"], 1) for r in rows}
+    edges = []
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        sa, sb = shingles[a], shingles[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.8:
+            edges.append((f"{a:020d}", f"{b:020d}"))
+    ref = {int(k): int(v)
+           for k, v in driver_components(edges).items()}
+    assert got == ref
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(5, 8)} == {5}
+    assert not any(i in got for i in range(8, 16))
+    assert out["doc_id"].dtype == "int64"
+
+
 def test_ivf_trained_centroids_recall(ray_session):
     """kmeans_fit + ivf_topk: on a clustered corpus, trained coarse
     centroids give high recall@k vs exact while scanning a fraction."""

@@ -75,3 +75,70 @@ def test_pack_deterministic_across_layouts(ray_session):
                         nparts=8)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)  # same nparts → identical packing
+
+
+def _naive_ffd(sizes, seq_len):
+    """The round-4 reference first-fit scan (kept as the oracle)."""
+    import numpy as np
+
+    bins, assign = [], np.empty(len(sizes), dtype=np.int64)
+    for i, s in enumerate(sizes):
+        if s > seq_len:
+            assign[i] = len(bins)
+            bins.append(0)
+            continue
+        for bi in range(len(bins)):
+            if bins[bi] >= s:
+                assign[i] = bi
+                bins[bi] -= s
+                break
+        else:
+            assign[i] = len(bins)
+            bins.append(seq_len - s)
+    return assign
+
+
+def test_segment_tree_ffd_equals_naive_scan():
+    """The O(n log n) leftmost-fit segment tree must produce the
+    BYTE-IDENTICAL assignment of the naive first-fit scan, including
+    oversized docs, zero-token docs, and exact-fit boundaries."""
+    import numpy as np
+
+    from entitydisambiguation_ray.pipelines.packing import _pack_ffd
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(1, 400))
+        sizes = rng.integers(0, 300, size=n).astype(np.int64)
+        # FFD contract: caller sorts desc; include ties
+        sizes = np.sort(sizes)[::-1].copy()
+        seq_len = int(rng.integers(50, 260))
+        got = _pack_ffd(sizes, seq_len)
+        ref = _naive_ffd(sizes, seq_len)
+        np.testing.assert_array_equal(got, ref)
+    # explicit edges: all oversized, all zero, exact fits
+    for sizes in ([500, 500, 500], [0, 0, 0], [100, 100, 100],
+                  [200, 100, 100, 0]):
+        s = np.array(sizes, dtype=np.int64)
+        np.testing.assert_array_equal(_pack_ffd(s, 100), _naive_ffd(s, 100))
+
+
+def test_pack_ffd_100k_single_partition_fast():
+    """VERDICT r4 #3: a planted 100k-doc single partition must pack in
+    seconds (the old scan was O(n*bins) ~ 10^9 comparisons)."""
+    import time
+
+    import numpy as np
+
+    from entitydisambiguation_ray.pipelines.packing import _pack_ffd
+
+    rng = np.random.default_rng(11)
+    sizes = np.sort(rng.integers(1, 600, size=100_000))[::-1].copy()
+    t0 = time.perf_counter()
+    assign = _pack_ffd(sizes.astype(np.int64), 2048)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"100k-doc FFD took {dt:.1f}s"
+    # invariants: exactly-once, capacity respected
+    fills = np.bincount(assign, weights=sizes)
+    assert (fills <= 2048).all()
+    assert len(assign) == 100_000
