@@ -23,15 +23,13 @@ def test_media_schema_and_determinism():
     kinds = set(t.column("kind").to_pylist())
     assert kinds == {"image", "audio", "video"}
     for p, k in zip(t.column("payload").to_pylist(), t.column("kind").to_pylist()):
-        # image/audio are REAL containers; video keeps the fake magic
-        assert bytes(p[:4]) == {"image": b"P6\n1", "audio": b"RIFF",
-                                "video": b"VIDF"}[k][:4] or True
+        # all three kinds are REAL containers now
         if k == "image":
             assert bytes(p[:2]) == b"P6"
         elif k == "audio":
-            assert bytes(p[:4]) == b"RIFF"
+            assert bytes(p[:4]) == b"RIFF" and bytes(p[8:12]) == b"WAVE"
         else:
-            assert bytes(p[:4]) == b"VIDF"
+            assert bytes(p[:4]) == b"RIFF" and bytes(p[8:12]) == b"AVI "
 
 
 def test_image_feature_stage_batch_level():
@@ -67,9 +65,20 @@ def test_strict_mode_semantics():
     })
     with pytest.raises(NotImplementedError):
         stage(bad)
-    # video frame sampling still requires PyAV in strict mode
+    # strict frame sampling DECODES uncompressed AVI natively...
+    from entitydisambiguation_ray.stages.multimodal import encode_avi
+
+    frames = np.zeros((3, 8, 8, 3), dtype=np.uint8)
+    avi_row = pa.table({
+        "media_id": ["v"], "kind": ["video"],
+        "payload": [encode_avi(frames)]})
+    assert FrameSampleStage(strict=True)(avi_row).num_rows == 4
+    # ...and refuses video formats that genuinely need PyAV
+    fake_row = pa.table({
+        "media_id": ["w"], "kind": ["video"],
+        "payload": [b"VIDF" + b"\x00" * 64]})
     with pytest.raises(NotImplementedError):
-        FrameSampleStage(strict=True)
+        FrameSampleStage(strict=True)(fake_row)
 
 
 def test_frame_sampling():
@@ -208,3 +217,44 @@ def test_image_stage_decodes_real_ppm_pixels():
                   "width": [20], "height": [20]})
     out = ImageFeatureStage()(t)
     assert out.column("mean_intensity").to_pylist() == [77.0]
+
+
+def test_avi_roundtrip_exact():
+    """encode_avi → decode_avi is the identity on frames and fps, for
+    both padded (w%4 != 0) and unpadded widths."""
+    from entitydisambiguation_ray.stages.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(5)
+    for w in (16, 10, 33):  # 10/33: DIB rows need 4-byte padding
+        frames = rng.integers(0, 256, (5, 12, w, 3), dtype=np.uint8)
+        payload = encode_avi(frames, fps=24)
+        got, fps = decode_avi(payload)
+        assert fps == 24
+        np.testing.assert_array_equal(got, frames)
+
+
+def test_frame_stage_decodes_real_avi_pixels():
+    """The frame digest must derive from the DECODED pixels: it equals
+    sha1 over the original RGB frame bytes, picked evenly across the
+    movi chunk list."""
+    import hashlib
+
+    from entitydisambiguation_ray.stages.multimodal import (
+        FrameSampleStage,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (8, 9, 11, 3), dtype=np.uint8)
+    t = pa.table({"media_id": ["v0"], "kind": ["video"],
+                  "payload": [encode_avi(frames, fps=10)]})
+    out = FrameSampleStage(n_samples=4)(t).to_pandas()
+    assert len(out) == 4
+    # even sampling over 8 frames with n=4 -> source frames 0,2,4,6
+    want = [hashlib.sha1(frames[i].tobytes()).hexdigest()[:16]
+            for i in (0, 2, 4, 6)]
+    assert out["frame_digest"].tolist() == want
+    assert out["byte_offset"].is_monotonic_increasing
