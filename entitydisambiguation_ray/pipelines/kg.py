@@ -364,105 +364,63 @@ def _dedup_partial_edges(batch: pa.Table) -> pa.Table:
                                 preserve_index=False)
 
 
-def round2_canonicalize(dec_df: pd.DataFrame,
-                        cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
-    """Round-2 canonicalization: created entities scored against each other
-    (blocked candidate gen with self-exclusion), ``merge`` pairs become
-    union-find edges, and each component canonicalizes to the member whose
-    first corpus occurrence is earliest — the order-free equivalent of the
-    reference's online "first create wins, later duplicates merge into it"
-    behavior (SURVEY.md §2.9).
+_ROUND2_ENC_MEMO: dict = {}
 
-    Runs on the driver-resident decisions table (small by construction);
-    ``state.unionfind.distributed_components`` is the drop-in replacement
-    when distinct mentions outgrow driver memory."""
-    from ..functions.textbuild import embed_text as _etext
-    from ..functions.textbuild import rerank_text as _rtext
-    from ..state.unionfind import UnionFind
+# below this many rows a round-2 pass stays driver-serial (task latency
+# would exceed the win); tests pin it to force either path
+ROUND2_FANOUT_MIN = 4000
 
-    created = dec_df[dec_df["decision"] == "create"]
-    cand = dec_df[dec_df["decision"] != "merge"]
-    if len(created) < 2 or cand.empty:
-        return dec_df
 
-    if len(cand) > 200_000:
-        # beyond comfortable driver-side indexing: the same exact candidate
-        # rule as Ray dataflow (pipelines/round2.py, equivalence-tested)
-        from .round2 import distributed_round2_edges
+def _round2_encoder(cfg: EngineConfig):
+    """Process-global encoder memo — warm round-2 tasks pay encoder
+    construction once per worker process, not once per chunk."""
+    key = (cfg.encoder, cfg.embedding_dim)
+    enc = _ROUND2_ENC_MEMO.get(key)
+    if enc is None:
+        from ..functions.encoder import make_encoder
 
-        e = distributed_round2_edges(rd.from_pandas(dec_df.reset_index(drop=True)),
-                                     cfg)
-        return apply_merge_edges(dec_df, list(zip(e["a"], e["b"])))
+        enc = _ROUND2_ENC_MEMO.setdefault(
+            key, make_encoder(cfg.encoder, cfg.embedding_dim))
+    return enc
 
-    kb_rows = [
-        {
-            "id": r.canonical_id, "name": r.name, "type": r.type,
-            "aliases": json.loads(r.aliases_json), "definition": r.definition,
-            "attributes": r.attributes, "source": "round1-created",
-            "create_time": None,
-        }
-        for r in created.itertuples()
-    ]
-    # Candidate generation for round 2 uses a token-overlap inverted index
-    # over M1 rerank texts: under the default weights a merge needs
-    # final >= 0.72, and with bge, fuzz, lev <= 1 that forces
-    # cross_encoder_score > 0, i.e. at least one shared M1 token — so pairs
-    # with disjoint token sets (the random-novel-name mass) are provably
-    # non-merges and are never scored or even embedded.  That invariant
-    # (scoring.token_prune_exact) depends on the weight configuration;
-    # when an ED_RAY_* override breaks it, fall back to unpruned all-pairs
-    # generation (bounded) instead of silently losing merges.
-    #
-    # Hot tokens stay pair generators up to ROUND2_DF_HARD (per-mention cost
-    # is one dot product per candidate thanks to the bge prefilter below);
-    # only tokens beyond that hard cap are dropped, with the dropped pair
-    # mass counted and logged — pairs sharing ONLY such head-vocabulary
-    # tokens can in principle merge, so the drop is an explicit recall
-    # trade-off, not "noise".
-    from collections import defaultdict
+
+def _round2_chunk_edges(m_cols: list, payload: dict,
+                        cfg: EngineConfig) -> tuple[list, int]:
+    """Score one contiguous chunk of round-2 mentions against the shared
+    created-entity KB payload → (merge edges, dropped-pair mass).
+
+    Pure function of its inputs, so chunking is a placement decision:
+    the union of chunk edge lists over contiguous slices is EXACTLY the
+    serial single-chunk result (equivalence pytest).  KB embed texts
+    encode LAZILY per chunk (never-candidate rows never encode) and KB
+    toksets build lazily — the duplicated work across chunks is bounded
+    by what each chunk actually touches."""
+    import numpy as np
 
     from ..functions.scoring import (
         bge_prefilter_floor,
         comprehensive_score,
-        token_prune_exact,
+        type_multiplier,
     )
-    from .round2 import ROUND2_DF_HARD
+    from ..functions.textbuild import embed_text as _etext
+    from ..functions.textbuild import rerank_text as _rtext
 
-    prune_ok = token_prune_exact(cfg)
-    if not prune_ok and len(created) > 20_000:
-        raise ValueError(
-            "round-2 token-overlap prune is not exact under this config "
-            f"((bge+fuzz+lev weights)*max_multiplier >= high_threshold="
-            f"{cfg.high_threshold}) and the created-entity set "
-            f"({len(created)}) is too large for unpruned all-pairs scoring; "
-            "restore default weights or disable round2_dedup")
+    kb_ids = payload["ids"]
+    kb_names = payload["names"]
+    kb_types = payload["types"]
+    kb_aliases = payload["aliases"]
+    kb_rtexts = payload["rtexts"]
+    kb_texts = payload["etexts"]
+    tok_index = payload["tok_index"]
+    hot_df = payload["hot_df"]
+    prune_ok = payload["prune_ok"]
 
-    edges: list[tuple[str, str]] = []
-    tok_index: dict[str, list[int]] = defaultdict(list)
-    kb_rtexts: list[str] = []
-    for k, row in enumerate(kb_rows):
-        rt = _rtext(row["name"], row["aliases"], row["definition"])
-        kb_rtexts.append(rt)
-        for t in set(rt.split()):
-            tok_index[t].append(k)
-    hot_df = {t for t, ids in tok_index.items() if len(ids) > ROUND2_DF_HARD}
-
-    import numpy as np
-
-    from ..functions.encoder import make_encoder
-
-    enc = make_encoder(cfg.encoder, cfg.embedding_dim)
+    enc = _round2_encoder(cfg)
     bge_floor = bge_prefilter_floor(cfg)
-    # lazily-filled KB matrix: rows encode in BATCHES the first time they
-    # appear in any candidate set (never-candidate rows never encode), and
-    # per-mention bges are one fancy-indexed matmul — both the eager
-    # whole-KB encode and the per-row python cache assembly measured
-    # slower at 400k pages
-    kb_texts = [_etext(r["name"], r["aliases"], r["definition"],
-                       r["attributes"]) for r in kb_rows]
-    kb_mat = np.zeros((len(kb_rows), cfg.embedding_dim), dtype=np.float32)
-    kb_encoded = np.zeros(len(kb_rows), dtype=bool)
-    kb_toksets = [set(rt.split()) for rt in kb_rtexts]
+    nkb = len(kb_ids)
+    kb_mat = np.zeros((nkb, cfg.embedding_dim), dtype=np.float32)
+    kb_encoded = np.zeros(nkb, dtype=bool)
+    kb_tokset_cache: dict[int, set] = {}
 
     def ensure_encoded(ks: np.ndarray) -> None:
         new = ks[~kb_encoded[ks]]
@@ -470,16 +428,18 @@ def round2_canonicalize(dec_df: pd.DataFrame,
             kb_mat[new] = enc.encode([kb_texts[i] for i in new])
             kb_encoded[new] = True
 
-    kb_idx_of = {row["id"]: k for k, row in enumerate(kb_rows)}
-    all_ids = set(range(len(kb_rows)))
-    dropped_pair_mass = 0
-    m_cols = [cand[c].tolist() for c in
-              ("name", "type", "aliases_json", "definition", "attributes",
-               "canonical_id")]
-    from ..functions.scoring import type_multiplier
+    def tokset(k: int) -> set:
+        s = kb_tokset_cache.get(k)
+        if s is None:
+            s = kb_tokset_cache.setdefault(k, set(kb_rtexts[k].split()))
+        return s
 
+    kb_idx_of = {eid: k for k, eid in enumerate(kb_ids)}
+    all_ids = set(range(nkb))
     w_b, w_c, w_f, w_l = cfg.weights()
-    ce_exact = cfg.reranker != "cross_encoder"  # hash_ce == jaccard; none == 0
+    ce_exact = cfg.reranker != "cross_encoder"  # hash_ce==jaccard; none==0
+    edges: list[tuple[str, str]] = []
+    dropped_pair_mass = 0
     for name, mtype, aliases_json, definition, attributes, self_id in zip(
             *m_cols):
         aliases = json.loads(aliases_json)
@@ -513,12 +473,11 @@ def round2_canonicalize(dec_df: pd.DataFrame,
         bges = kb_mat[ks] @ mvec
         keep = bges >= bge_floor
         for k, bge in zip(ks[keep], bges[keep]):
-            row = kb_rows[k]
-            mult = type_multiplier(mtype, row["type"], cfg)
+            mult = type_multiplier(mtype, kb_types[k], cfg)
             if (w_b * bge + w_c + w_f + w_l) * mult < cfg.high_threshold:
                 continue
             if ce_exact:
-                kt = kb_toksets[k]
+                kt = tokset(k)
                 un = len(mtoks | kt)
                 ce = (len(mtoks & kt) / un) if un else 0.0
                 if cfg.reranker == "none":
@@ -528,10 +487,176 @@ def round2_canonicalize(dec_df: pd.DataFrame,
                     continue
             s = comprehensive_score(
                 name, aliases, mtype, rtext,
-                row["name"], row["aliases"], row["type"],
+                kb_names[k], kb_aliases[k], kb_types[k],
                 kb_rtexts[k], float(bge), cfg)
             if s.final_score >= cfg.high_threshold:
-                edges.append((self_id, row["id"]))
+                edges.append((self_id, kb_ids[k]))
+    return edges, dropped_pair_mass
+
+
+@ray.remote
+def _round2_chunk_task(m_cols: list, payload: dict,
+                       cfg: EngineConfig) -> tuple[list, int]:
+    return _round2_chunk_edges(m_cols, payload, cfg)
+
+
+def _round2_prep_chunk(cre_cols: list) -> tuple:
+    """Per-row KB payload prep for one contiguous chunk of created
+    entities: alias parse + rerank/embed text builds + distinct-token
+    lists.  Pure per-row transforms — chunking is placement only."""
+    from ..functions.textbuild import embed_text as _etext
+    from ..functions.textbuild import rerank_text as _rtext
+
+    ids, names, types, aliases, rtexts, etexts, toks = \
+        [], [], [], [], [], [], []
+    for cid, name, typ, aj, definition, attrs in zip(*cre_cols):
+        al = json.loads(aj)
+        rt = _rtext(name, al, definition)
+        ids.append(cid)
+        names.append(name)
+        types.append(typ)
+        aliases.append(al)
+        rtexts.append(rt)
+        etexts.append(_etext(name, al, definition, attrs))
+        toks.append(sorted(set(rt.split())))
+    return ids, names, types, aliases, rtexts, etexts, toks
+
+
+_round2_prep_task = ray.remote(_round2_prep_chunk)
+
+
+def round2_canonicalize(dec_df: pd.DataFrame,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Round-2 canonicalization: created entities scored against each other
+    (blocked candidate gen with self-exclusion), ``merge`` pairs become
+    union-find edges, and each component canonicalizes to the member whose
+    first corpus occurrence is earliest — the order-free equivalent of the
+    reference's online "first create wins, later duplicates merge into it"
+    behavior (SURVEY.md §2.9).
+
+    Runs on the driver-resident decisions table (small by construction);
+    ``state.unionfind.distributed_components`` is the drop-in replacement
+    when distinct mentions outgrow driver memory."""
+    created = dec_df[dec_df["decision"] == "create"]
+    cand = dec_df[dec_df["decision"] != "merge"]
+    if len(created) < 2 or cand.empty:
+        return dec_df
+
+    if len(cand) > 200_000:
+        # beyond comfortable driver-side indexing: the same exact candidate
+        # rule as Ray dataflow (pipelines/round2.py, equivalence-tested)
+        from .round2 import distributed_round2_edges
+
+        e = distributed_round2_edges(rd.from_pandas(dec_df.reset_index(drop=True)),
+                                     cfg)
+        return apply_merge_edges(dec_df, list(zip(e["a"], e["b"])))
+
+    cre_cols = [created[c].tolist() for c in
+                ("canonical_id", "name", "type", "aliases_json",
+                 "definition", "attributes")]
+    # Candidate generation for round 2 uses a token-overlap inverted index
+    # over M1 rerank texts: under the default weights a merge needs
+    # final >= 0.72, and with bge, fuzz, lev <= 1 that forces
+    # cross_encoder_score > 0, i.e. at least one shared M1 token — so pairs
+    # with disjoint token sets (the random-novel-name mass) are provably
+    # non-merges and are never scored or even embedded.  That invariant
+    # (scoring.token_prune_exact) depends on the weight configuration;
+    # when an ED_RAY_* override breaks it, fall back to unpruned all-pairs
+    # generation (bounded) instead of silently losing merges.
+    #
+    # Hot tokens stay pair generators up to ROUND2_DF_HARD (per-mention cost
+    # is one dot product per candidate thanks to the bge prefilter below);
+    # only tokens beyond that hard cap are dropped, with the dropped pair
+    # mass counted and logged — pairs sharing ONLY such head-vocabulary
+    # tokens can in principle merge, so the drop is an explicit recall
+    # trade-off, not "noise".
+    from collections import defaultdict
+
+    from ..functions.scoring import token_prune_exact
+    from .round2 import ROUND2_DF_HARD
+
+    prune_ok = token_prune_exact(cfg)
+    if not prune_ok and len(created) > 20_000:
+        raise ValueError(
+            "round-2 token-overlap prune is not exact under this config "
+            f"((bge+fuzz+lev weights)*max_multiplier >= high_threshold="
+            f"{cfg.high_threshold}) and the created-entity set "
+            f"({len(created)}) is too large for unpruned all-pairs scoring; "
+            "restore default weights or disable round2_dedup")
+
+    # Both round-2 passes were the flagship's last DRIVER-SERIAL steps
+    # (~1.3 s combined at 400k pages while every worker idles — the
+    # round-4 scaling residual).  Beyond a small threshold each fans out
+    # as contiguous chunks over warm stateless tasks (the ann.py
+    # _topk_partial discipline: ray.put the shared payload once, no actor
+    # pool).  Chunk outputs concatenate in slice order, so both passes are
+    # IDENTICAL to the serial path (equivalence pytest) — placement only.
+    n_kb = len(cre_cols[0])
+
+    def _fanout(n_rows: int) -> int:
+        if n_rows < ROUND2_FANOUT_MIN or not ray.is_initialized():
+            return 1
+        try:
+            return min(16, max(1, int(
+                ray.cluster_resources().get("CPU", 1))), n_rows // 1000)
+        except Exception:
+            return 1
+
+    # ---- pass 1: per-row KB payload prep (alias parse, text builds) ----
+    n_prep = _fanout(n_kb)
+    if n_prep > 1:
+        step = -(-n_kb // n_prep)
+        preps = ray.get([
+            _round2_prep_task.remote([c[i:i + step] for c in cre_cols])
+            for i in range(0, n_kb, step)
+        ])
+        kb_ids, kb_names, kb_types, kb_aliases, kb_rtexts, kb_etexts, \
+            kb_toks = (sum((p[j] for p in preps), []) for j in range(7))
+    else:
+        kb_ids, kb_names, kb_types, kb_aliases, kb_rtexts, kb_etexts, \
+            kb_toks = _round2_prep_chunk(cre_cols)
+
+    tok_index: dict[str, list[int]] = defaultdict(list)
+    for k, toks in enumerate(kb_toks):
+        for t in toks:
+            tok_index[t].append(k)
+    hot_df = {t for t, ids in tok_index.items() if len(ids) > ROUND2_DF_HARD}
+
+    # lazily-filled KB matrix inside each chunk: rows encode in BATCHES
+    # the first time they appear in any candidate set (never-candidate
+    # rows never encode) — both the eager whole-KB encode and the per-row
+    # python cache assembly measured slower at 400k pages
+    payload = {
+        "ids": kb_ids,
+        "names": kb_names,
+        "types": kb_types,
+        "aliases": kb_aliases,
+        "rtexts": kb_rtexts,
+        "etexts": kb_etexts,
+        "tok_index": dict(tok_index),
+        "hot_df": hot_df,
+        "prune_ok": prune_ok,
+    }
+    m_cols = [cand[c].tolist() for c in
+              ("name", "type", "aliases_json", "definition", "attributes",
+               "canonical_id")]
+
+    # ---- pass 2: mention-vs-KB candidate scoring ------------------------
+    n_m = len(m_cols[0])
+    n_chunks = _fanout(n_m)
+    if n_chunks > 1:
+        ref = ray.put(payload)
+        step = -(-n_m // n_chunks)
+        futs = [
+            _round2_chunk_task.remote(
+                [c[i:i + step] for c in m_cols], ref, cfg)
+            for i in range(0, n_m, step)
+        ]
+        parts = ray.get(futs)
+        edges = [e for p in parts for e in p[0]]
+        dropped_pair_mass = sum(p[1] for p in parts)
+    else:
+        edges, dropped_pair_mass = _round2_chunk_edges(m_cols, payload, cfg)
     if dropped_pair_mass:
         import logging
 

@@ -57,3 +57,41 @@ def test_round2_noop_when_dissimilar(ray_session):
         generate_entity_id("阿帕替尼", "药物"),
         generate_entity_id("肾上腺", "器官"),
     ]
+
+
+def test_round2_parallel_fanout_identical(ray_session, monkeypatch):
+    """The warm-task fan-out of BOTH round-2 passes (KB payload prep and
+    mention scoring) must be byte-identical to the driver-serial path —
+    chunking is placement only (round-5 scaling work)."""
+    import numpy as np
+
+    import entitydisambiguation_ray.pipelines.kg as kg
+
+    rng = np.random.default_rng(13)
+    vocab = ["奥希替尼", "吉非替尼", "阿帕替尼", "曲妥珠单抗", "贝伐珠单抗",
+             "帕博利珠单抗", "纳武利尤单抗", "卡瑞利珠单抗"]
+    rows = []
+    for i in range(900):
+        base = vocab[i % len(vocab)]
+        # thirds: exact dup names (merge mass), suffixed variants
+        # (near-merges), unique tails (non-merges)
+        if i % 3 == 0:
+            name = base
+        elif i % 3 == 1:
+            name = base + "片"
+        else:
+            name = f"{base}变体{i:04d}"
+        rows.append(_dec_row(
+            f"sig{i:05d}", f"https://x/p{i % 97}|{i:06d}|a", name, "药物",
+            [f"alias{i % 11}"], "第三代EGFR抑制剂靶向药物",
+            '{"适应症": ["肺癌"]}'))
+    df = pd.DataFrame(rows)
+
+    monkeypatch.setattr(kg, "ROUND2_FANOUT_MIN", 10**9)  # force serial
+    serial = kg.round2_canonicalize(df)
+    monkeypatch.setattr(kg, "ROUND2_FANOUT_MIN", 100)    # force fan-out
+    parallel = kg.round2_canonicalize(df)
+    pd.testing.assert_frame_equal(serial, parallel)
+    # the fixture actually merges something (the test has teeth)
+    assert (serial["canonical_id"].nunique()
+            < serial["canonical_id"].size)
