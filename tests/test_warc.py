@@ -173,11 +173,15 @@ def test_warc_parse_memory_bounded(tmp_path):
     """Peak parse memory must be BOUNDED — flat as the archive doubles —
     not linear in archive size (VERDICT r4 #1: the old parser held the
     whole decompressed archive + every parsed row, i.e. ≥2× plain size
-    and strictly linear).  Each size parses in a fresh SUBPROCESS so
-    ru_maxrss measures that parse alone.  The measured Python-allocation
-    peak (tracemalloc) is ~47 MB regardless of size; RSS adds a one-time
-    allocator/arrow-pool plateau, which is why the assertion is flatness
-    plus a generous absolute ceiling rather than a tight RSS bound."""
+    and strictly linear).  Each size parses in a fresh SUBPROCESS and
+    reads /proc/self/status VmHWM, which (unlike ru_maxrss) RESETS at
+    exec — ru_maxrss is inherited through fork+exec on Linux, so under a
+    long pytest run the child would report the multi-GB pytest/Ray
+    parent's high-water mark, not the parse's.  The measured
+    Python-allocation peak (tracemalloc) is ~47 MB regardless of size;
+    RSS adds a one-time allocator/arrow-pool plateau, which is why the
+    assertion is flatness plus a generous absolute ceiling rather than a
+    tight RSS bound."""
     import gzip
     import subprocess
     import sys
@@ -199,7 +203,7 @@ def test_warc_parse_memory_bounded(tmp_path):
 
     def peak_of(path: str, n: int) -> float:
         script = f"""
-import resource, sys
+import sys
 sys.path.insert(0, "/root/repo")
 from entitydisambiguation_ray.sources.warc import (
     iter_warc_file, _pages_from_chunks)
@@ -207,7 +211,8 @@ rows = sum(t.num_rows
            for t in _pages_from_chunks(iter_warc_file({path!r}),
                                        1024, 32 << 20))
 assert rows == {n}, rows
-print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+hwm_kb = int(open("/proc/self/status").read().split("VmHWM:")[1].split()[0])
+print(hwm_kb / 1024)
 """
         out = subprocess.run([sys.executable, "-c", script],
                              capture_output=True, text=True)
