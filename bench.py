@@ -98,8 +98,38 @@ def run_bench() -> dict:
     # ---- headline: KG construction over n_pages synthetic pages --------
     n_counts = {}
 
+    # GRAFT_BENCH_INPUT=parquet: time the canonical job shape — pages READ
+    # from storage — instead of synthesizing inside the timed region.
+    # In-pipeline synthesis is harness data generation (per-page PCG64
+    # draws, ~28% of a 16-cpu 400k-page leg) that no real ingest pays; a
+    # 100-TB run reads its page table from parquet.  The corpus is
+    # synthesized ONCE (untimed) to a content-addressed path and reused,
+    # so every leg of a scaling pair times the identical byte input.
+    bench_input = os.environ.get("GRAFT_BENCH_INPUT", "synth")
+    pages_path = None
+    if bench_input == "parquet":
+        import ray.data as rd
+
+        pages_path = f"/tmp/graft_bench_pages_{n_pages}_s42"
+        if not os.path.isdir(pages_path) or not os.listdir(pages_path):
+            # write-then-rename: a killed run must not leave a partial
+            # corpus at the content-addressed path for later runs to read
+            tmp_path = f"{pages_path}.building.{os.getpid()}"
+            synth_pages_dataset(n_pages, seed=42).write_parquet(tmp_path)
+            try:
+                os.rename(tmp_path, pages_path)
+            except OSError:  # lost the race to a concurrent leg — use its
+                import shutil  # corpus (identical by construction)
+
+                shutil.rmtree(tmp_path, ignore_errors=True)
+
     def kg_once():
-        pages = synth_pages_dataset(n_pages, seed=42)
+        if pages_path is not None:
+            import ray.data as rd
+
+            pages = rd.read_parquet(pages_path)
+        else:
+            pages = synth_pages_dataset(n_pages, seed=42)
         out = run_kg_pipeline(pages, cfg=cfg)
         n_counts["edges"] = out["edges"].count()
         n_counts["triples"] = out["triples"].count()
@@ -133,6 +163,7 @@ def run_bench() -> dict:
         "repeats": max(1, repeats),
         "sf": sf,
         "num_cpus": num_cpus,
+        "input": bench_input,
         "pages": n_pages,
         "edges": n_counts["edges"],
         "triples": n_counts["triples"],
@@ -219,6 +250,7 @@ def run_scaling() -> dict:
         "pairs": pair_results,
         "pages": meta.get("pages"),
         "sf": meta.get("sf"),
+        "input": meta.get("input", "synth"),
     }
     # keep the flat primary-pair fields for consumers of the old shape
     out.update({k: v for k, v in primary.items() if k != "rounds"})
