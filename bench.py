@@ -127,7 +127,13 @@ def run_bench() -> dict:
         if pages_path is not None:
             import ray.data as rd
 
-            pages = rd.read_parquet(pages_path)
+            # Pin the read's block count to synth mode's granularity
+            # (rd.range defaults to 2×CPUs): left alone, Ray splits this
+            # read into ~256 blocks and the per-block overhead through the
+            # downstream stages measures 2.3× end-to-end at 4 CPUs
+            # (94-97 s vs 37-42 s pinned, same-process A/B).
+            pages = rd.read_parquet(
+                pages_path, override_num_blocks=2 * num_cpus)
         else:
             pages = synth_pages_dataset(n_pages, seed=42)
         out = run_kg_pipeline(pages, cfg=cfg)
