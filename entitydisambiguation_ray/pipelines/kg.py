@@ -1195,15 +1195,9 @@ def write_graph_outputs(out: dict, out_dir: str) -> dict:
     manifests on top for mid-run resume."""
     import os
 
-    from ..state.checkpoint import MIN_ROWS_PER_FILE
-
     paths = {}
     edges_dir = os.path.join(out_dir, "edges")
-    # min_rows_per_file on every table write: file count follows data
-    # volume, not the writing pipeline's block count (tiny-file rationale
-    # in state/checkpoint.py run_partitioned_stage)
-    out["edges"].sort(["src_id", "dst_id", "rel_type"]).write_parquet(
-        edges_dir, min_rows_per_file=MIN_ROWS_PER_FILE)
+    out["edges"].sort(["src_id", "dst_id", "rel_type"]).write_parquet(edges_dir)
     paths["edges"] = edges_dir
 
     ents_dir = os.path.join(out_dir, "entities")
@@ -1212,7 +1206,7 @@ def write_graph_outputs(out: dict, out_dir: str) -> dict:
             out["entities_df"].sort_values("id").reset_index(drop=True))
     else:  # distributed canonicalization: already a Dataset
         ents = out["entities_ds"].sort("id")
-    ents.write_parquet(ents_dir, min_rows_per_file=MIN_ROWS_PER_FILE)
+    ents.write_parquet(ents_dir)
     paths["entities"] = ents_dir
 
     dec_dir = os.path.join(out_dir, "decisions")
@@ -1221,7 +1215,7 @@ def write_graph_outputs(out: dict, out_dir: str) -> dict:
             out["decisions_df"].sort_values("sig").reset_index(drop=True))
     else:
         dec = out["decisions_ds"].sort("sig")
-    dec.write_parquet(dec_dir, min_rows_per_file=MIN_ROWS_PER_FILE)
+    dec.write_parquet(dec_dir)
     paths["decisions"] = dec_dir
     return paths
 

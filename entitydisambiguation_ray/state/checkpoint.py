@@ -23,10 +23,6 @@ import shutil
 import time
 from dataclasses import asdict, dataclass
 
-# Row target per written parquet file (see run_partitioned_stage): keeps
-# file size driven by data volume instead of upstream block structure.
-MIN_ROWS_PER_FILE = 250_000
-
 
 @dataclass
 class PartitionManifest:
@@ -152,14 +148,7 @@ def run_partitioned_stage(
         t0 = time.perf_counter()
         ds = make_partition_ds(p)
         os.makedirs(pdir, exist_ok=True)
-        # Size files by ROWS, not by upstream block count: without this
-        # each partition writes one file per pipeline block (measured 352
-        # files of 10-21 KB for a 100k-page run's triples), and a
-        # downstream read over sub-MB blocks pays per-task overhead
-        # measured at 2.3x end-to-end on narrow clusters (BASELINE.md
-        # round-5 addendum).  250k rows ~ 8-30 MB parquet for the
-        # engine's row shapes — small partitions emit exactly one file.
-        ds.write_parquet(pdir, min_rows_per_file=MIN_ROWS_PER_FILE)
+        ds.write_parquet(pdir)
         files = sorted(os.listdir(pdir))
         import pyarrow.parquet as pq
 
